@@ -1,0 +1,22 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on CPU via
+``--xla_force_host_platform_device_count`` (SURVEY.md §4, §7.3); the
+real TPU chip is only used by bench.py.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon TPU PJRT plugin ignores the JAX_PLATFORMS env var in this
+# image; the config update below is what actually forces CPU.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
