@@ -1,0 +1,104 @@
+"""Oriented BRIEF-256: intensity-centroid orientation + rotated pattern.
+
+TPU-native replacement for ORBextractor's IC_Angle +
+computeOrbDescriptor (src/ORBextractor.cc, SURVEY.md §2.1 row 9 and
+§3.2 "hot loop 1").  All keypoints are processed as one batched gather:
+patch reads become [N, P, P] advanced-indexing gathers, the descriptor
+becomes a [N, 256] comparison of rotated-sample pairs, packed to
+uint8[N, 32].
+
+The test-pair pattern is NOT OpenCV's learned bit_pattern_31_ (we build
+from scratch); it is a deterministic Gaussian BRIEF pattern
+(x, y ~ N(0, (patch/5)^2), the original BRIEF G-II sampling) seeded so
+every run agrees.  The engine is self-consistent: map, matching, BoW
+vocabulary all use this pattern.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from .hamming import pack_bits
+from .image import nearest_sample
+
+HALF_PATCH = 15  # orientation patch radius, as ORBextractor
+PATCH = 2 * HALF_PATCH + 1
+BRIEF_CLIP = 13  # max |coord| of a test point, keeps rotated reads in patch
+
+
+@functools.lru_cache()
+def brief_pattern() -> np.ndarray:
+    """[256, 4] float32 rows (x1, y1, x2, y2), deterministic."""
+    rng = np.random.default_rng(0x0B51EF)
+    sigma = PATCH / 5.0
+    pts = rng.normal(0.0, sigma, size=(256, 4))
+    pts = np.clip(pts, -BRIEF_CLIP, BRIEF_CLIP)
+    return pts.astype(np.float32)
+
+
+@functools.lru_cache()
+def circular_mask() -> np.ndarray:
+    """bool [PATCH, PATCH] disk mask of radius HALF_PATCH."""
+    v, u = np.mgrid[-HALF_PATCH : HALF_PATCH + 1, -HALF_PATCH : HALF_PATCH + 1]
+    return (u * u + v * v <= HALF_PATCH * HALF_PATCH).astype(np.float32)
+
+
+def gather_patches(img: jnp.ndarray, centers: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Gather square patches around integer centers.
+
+    img: [H, W] float32; centers: int32 [N, 2] (x, y).
+    Returns [N, 2r+1, 2r+1]; out-of-bounds reads clamp to the border
+    (selection already avoids the border, so clamping is a no-op for
+    valid keypoints).
+    """
+    h, w = img.shape
+    d = jnp.arange(-radius, radius + 1)
+    ys = jnp.clip(centers[:, 1, None, None] + d[None, :, None], 0, h - 1)
+    xs = jnp.clip(centers[:, 0, None, None] + d[None, None, :], 0, w - 1)
+    return img[ys, xs]
+
+
+def ic_angle(patches: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation per patch [N, P, P] -> radians [N]."""
+    mask = jnp.asarray(circular_mask())
+    d = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=jnp.float32)
+    u = d[None, None, :]  # x offsets
+    v = d[None, :, None]  # y offsets
+    pm = patches * mask[None]
+    m10 = jnp.sum(pm * u, axis=(1, 2))
+    m01 = jnp.sum(pm * v, axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def brief_descriptors(
+    img_blur: jnp.ndarray, centers: jnp.ndarray, angles: jnp.ndarray
+) -> jnp.ndarray:
+    """Rotated BRIEF-256 from a blurred image.
+
+    img_blur: [H, W] float32 (Gaussian sigma=2, as the reference).
+    centers: int32 [N, 2]; angles: float32 [N] radians.
+    Returns packed uint8 [N, 32].
+    """
+    pat = jnp.asarray(brief_pattern())  # [256, 4]
+    c = jnp.cos(angles)[:, None]
+    s = jnp.sin(angles)[:, None]
+
+    def rot(px, py):
+        # Steered BRIEF: rotate test points by keypoint angle.
+        rx = c * px[None, :] - s * py[None, :]
+        ry = s * px[None, :] + c * py[None, :]
+        return rx, ry
+
+    x1, y1 = rot(pat[:, 0], pat[:, 1])  # [N, 256]
+    x2, y2 = rot(pat[:, 2], pat[:, 3])
+    cx = centers[:, 0:1].astype(jnp.float32)
+    cy = centers[:, 1:2].astype(jnp.float32)
+    p1 = jnp.stack([cx + x1, cy + y1], axis=-1)  # [N, 256, 2]
+    p2 = jnp.stack([cx + x2, cy + y2], axis=-1)
+    i1 = nearest_sample(img_blur, p1)
+    i2 = nearest_sample(img_blur, p2)
+    bits = (i1 < i2).astype(jnp.uint8)
+    return pack_bits(bits)
