@@ -106,3 +106,22 @@ def nearest_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     x = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, w - 1)
     y = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, h - 1)
     return img[y, x]
+
+
+def pyramid_atlas(levels: list[jnp.ndarray]):
+    """Stack pyramid levels into one vertically-concatenated atlas.
+
+    Enables per-keypoint octave-dependent patch gathers from a single
+    static-shape array: level L lives at rows
+    [offset[L], offset[L]+h_L).  Returns (atlas [sumH, maxW] float32,
+    offsets int32 [n_levels]).
+    """
+    max_w = max(l.shape[1] for l in levels)
+    offs = []
+    padded = []
+    y = 0
+    for l in levels:
+        offs.append(y)
+        y += l.shape[0]
+        padded.append(jnp.pad(l, ((0, 0), (0, max_w - l.shape[1]))))
+    return jnp.concatenate(padded, axis=0), jnp.asarray(offs, dtype=jnp.int32)
