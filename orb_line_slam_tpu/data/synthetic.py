@@ -1,0 +1,125 @@
+"""Synthetic stereo scene renderer for dataset-free integration tests.
+
+The reference family has no tests at all (SURVEY.md §4); this module
+implements the survey's prescribed synthetic-scene strategy: render
+point (and line) landmarks along a known trajectory, run the pipeline,
+assert ATE ~ 0.  Rendering is host-side numpy/cv2 (test-only code, not
+part of the TPU compute path).
+
+Each 3D landmark carries a fixed random 5x5 texture patch so that ORB
+descriptors are distinctive and stable across views.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..geometry.camera import CameraIntrinsics
+
+
+class SyntheticScene:
+    def __init__(
+        self,
+        cam: CameraIntrinsics,
+        n_points: int = 400,
+        n_lines: int = 0,
+        extent=((-8.0, 8.0), (-4.0, 4.0), (2.0, 40.0)),
+        seed: int = 0,
+    ):
+        rng = np.random.default_rng(seed)
+        self.cam = cam
+        lo = np.array([e[0] for e in extent])
+        hi = np.array([e[1] for e in extent])
+        self.points = rng.uniform(lo, hi, size=(n_points, 3)).astype(np.float64)
+        # Distinctive high-contrast patch per landmark.
+        self.patches = rng.integers(0, 255, size=(n_points, 5, 5)).astype(np.uint8)
+        self.lines = None
+        if n_lines:
+            starts = rng.uniform(lo, hi, size=(n_lines, 3))
+            dirs = rng.normal(size=(n_lines, 3))
+            dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+            lengths = rng.uniform(1.0, 4.0, size=(n_lines, 1))
+            self.lines = np.stack([starts, starts + dirs * lengths], axis=1)
+        self.bg = 110
+
+    def render(self, R_cw: np.ndarray, t_cw: np.ndarray) -> np.ndarray:
+        """Render the left view for camera pose Tcw."""
+        return self._render_view(R_cw, t_cw, baseline_shift=0.0)
+
+    def render_stereo(self, R_cw: np.ndarray, t_cw: np.ndarray):
+        left = self._render_view(R_cw, t_cw, 0.0)
+        right = self._render_view(R_cw, t_cw, self.cam.baseline)
+        return left, right
+
+    def _render_view(self, R_cw, t_cw, baseline_shift):
+        import cv2
+
+        cam = self.cam
+        h, w = cam.height, cam.width
+        img = np.full((h, w), self.bg, dtype=np.uint8)
+        # Low-amplitude background texture so empty regions don't alias.
+        rng = np.random.default_rng(42)
+        noise = rng.integers(-6, 6, size=(h // 8, w // 8))
+        img = np.clip(
+            img.astype(np.int32) + np.kron(noise, np.ones((8, 8), np.int32))[:h, :w],
+            0,
+            255,
+        ).astype(np.uint8)
+
+        xc = (R_cw @ self.points.T).T + t_cw
+        xc = xc - np.array([baseline_shift, 0.0, 0.0])  # right cam offset
+        z = xc[:, 2]
+        u = cam.fx * xc[:, 0] / np.where(z > 0.1, z, 1.0) + cam.cx
+        v = cam.fy * xc[:, 1] / np.where(z > 0.1, z, 1.0) + cam.cy
+        vis = (z > 0.5) & (u >= 4) & (u < w - 4) & (v >= 4) & (v < h - 4)
+        order = np.argsort(-z)  # far first so near landmarks overdraw
+        for i in order:
+            if not vis[i]:
+                continue
+            ui, vi = int(round(u[i])), int(round(v[i]))
+            img[vi - 2 : vi + 3, ui - 2 : ui + 3] = self.patches[i]
+
+        if self.lines is not None:
+            for seg in self.lines:
+                pc = (R_cw @ seg.T).T + t_cw - np.array([baseline_shift, 0.0, 0.0])
+                if pc[0, 2] < 0.5 or pc[1, 2] < 0.5:
+                    continue
+                p0 = (
+                    cam.fx * pc[0, 0] / pc[0, 2] + cam.cx,
+                    cam.fy * pc[0, 1] / pc[0, 2] + cam.cy,
+                )
+                p1 = (
+                    cam.fx * pc[1, 0] / pc[1, 2] + cam.cx,
+                    cam.fy * pc[1, 1] / pc[1, 2] + cam.cy,
+                )
+                cv2.line(
+                    img,
+                    (int(round(p0[0])), int(round(p0[1]))),
+                    (int(round(p1[0])), int(round(p1[1]))),
+                    int(30),
+                    2,
+                    cv2.LINE_8,
+                )
+        return img
+
+
+def circular_trajectory(n_frames: int, radius: float = 0.0, step: float = 0.3):
+    """Forward motion with slight yaw — a KITTI-like segment.
+
+    Returns list of (R_cw, t_cw) world-to-camera poses; camera looks +z.
+    """
+    poses = []
+    for i in range(n_frames):
+        yaw = 0.002 * i
+        Rwc = np.array(
+            [
+                [np.cos(yaw), 0, np.sin(yaw)],
+                [0, 1, 0],
+                [-np.sin(yaw), 0, np.cos(yaw)],
+            ]
+        )
+        twc = np.array([radius * np.sin(yaw), 0.0, step * i])
+        R_cw = Rwc.T
+        t_cw = -Rwc.T @ twc
+        poses.append((R_cw, t_cw))
+    return poses

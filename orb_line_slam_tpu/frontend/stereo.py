@@ -45,8 +45,10 @@ def _gather_window(atlas, cx, cy, half_w, extra=0):
     bilinear sampling from the pyramid atlas."""
     dy = jnp.arange(-half_w, half_w + 1, dtype=jnp.float32)
     dx = jnp.arange(-half_w - extra, half_w + extra + 1, dtype=jnp.float32)
-    xs = cx[:, None, None] + dx[None, None, :]
-    ys = cy[:, None, None] + dy[None, :, None]
+    n = cx.shape[0]
+    shape = (n, dy.shape[0], dx.shape[0])
+    xs = jnp.broadcast_to(cx[:, None, None] + dx[None, None, :], shape)
+    ys = jnp.broadcast_to(cy[:, None, None] + dy[None, :, None], shape)
     return bilinear_sample(atlas, jnp.stack([xs, ys], axis=-1))
 
 
