@@ -31,8 +31,41 @@ class SyntheticScene:
         lo = np.array([e[0] for e in extent])
         hi = np.array([e[1] for e in extent])
         self.points = rng.uniform(lo, hi, size=(n_points, 3)).astype(np.float64)
-        # Distinctive high-contrast patch per landmark.
-        self.patches = rng.integers(0, 255, size=(n_points, 5, 5)).astype(np.uint8)
+        # Distinctive textured billboard per landmark with a fixed
+        # PHYSICAL size: the projected patch scales with depth, so
+        # appearance is geometrically consistent under camera motion
+        # (ORB's scale pyramid handles the zoom, as with real texture).
+        # Fractal (multi-octave) textures: structure at all scales, so
+        # appearance stays correlated at any viewing distance — per-texel
+        # white noise would decorrelate under sub-pixel resampling.
+        import cv2
+
+        patches = np.zeros((n_points, 64, 64), np.float32)
+        for g, amp in ((4, 1.0), (8, 0.6), (16, 0.4), (32, 0.25)):
+            grids = rng.uniform(-1, 1, size=(n_points, g, g)).astype(np.float32)
+            for i in range(n_points):
+                patches[i] += amp * cv2.resize(grids[i], (64, 64), interpolation=cv2.INTER_LINEAR)
+        pmin = patches.min(axis=(1, 2), keepdims=True)
+        pmax = patches.max(axis=(1, 2), keepdims=True)
+        self.patches = (255 * (patches - pmin) / (pmax - pmin + 1e-6)).astype(np.uint8)
+        self.world_size = rng.uniform(0.35, 0.9, size=n_points)
+        # Mipmap chain per patch (area-filtered) so minified billboards
+        # don't alias frame-to-frame (warpAffine has no area filter).
+        import cv2
+
+        self.mips = []
+        for lvl_size in (64, 32, 16, 8, 4):
+            if lvl_size == 64:
+                self.mips.append(self.patches)
+            else:
+                self.mips.append(
+                    np.stack(
+                        [
+                            cv2.resize(p, (lvl_size, lvl_size), interpolation=cv2.INTER_AREA)
+                            for p in self.patches
+                        ]
+                    )
+                )
         self.lines = None
         if n_lines:
             starts = rng.uniform(lo, hi, size=(n_lines, 3))
@@ -71,13 +104,47 @@ class SyntheticScene:
         z = xc[:, 2]
         u = cam.fx * xc[:, 0] / np.where(z > 0.1, z, 1.0) + cam.cx
         v = cam.fy * xc[:, 1] / np.where(z > 0.1, z, 1.0) + cam.cy
-        vis = (z > 0.5) & (u >= 4) & (u < w - 4) & (v >= 4) & (v < h - 4)
+        vis = z > 0.5
         order = np.argsort(-z)  # far first so near landmarks overdraw
         for i in order:
             if not vis[i]:
                 continue
-            ui, vi = int(round(u[i])), int(round(v[i]))
-            img[vi - 2 : vi + 3, ui - 2 : ui + 3] = self.patches[i]
+            s = cam.fx * self.world_size[i] / z[i]  # projected size in px
+            if s < 3.0 or s > 600.0:
+                continue
+            half = s / 2.0
+            x0 = int(np.floor(u[i] - half)) - 1
+            y0 = int(np.floor(v[i] - half)) - 1
+            size = int(np.ceil(s)) + 3
+            # Clip the ROI to the image (partially-visible billboards
+            # must render their visible part, not vanish).
+            cx0, cy0 = max(x0, 0), max(y0, 0)
+            cx1, cy1 = min(x0 + size, w), min(y0 + size, h)
+            if cx1 - cx0 < 2 or cy1 - cy0 < 2:
+                continue
+            # Pick the smallest mip level that is >= the projected size.
+            mip = self.mips[0]
+            for m in self.mips:
+                if m.shape[1] >= s:
+                    mip = m
+                else:
+                    break
+            patch = mip[i]
+            scale = s / patch.shape[1]
+            M = np.array(
+                [
+                    [scale, 0.0, u[i] - half - cx0],
+                    [0.0, scale, v[i] - half - cy0],
+                ]
+            )
+            warped = cv2.warpAffine(
+                patch.astype(np.float32), M, (cx1 - cx0, cy1 - cy0),
+                flags=cv2.INTER_LINEAR,
+                borderMode=cv2.BORDER_CONSTANT, borderValue=-1.0,
+            )
+            mask = warped >= 0
+            roi = img[cy0:cy1, cx0:cx1]
+            roi[mask] = warped[mask].astype(np.uint8)
 
         if self.lines is not None:
             for seg in self.lines:

@@ -72,6 +72,16 @@ def match_descriptors(
     return Matches(jnp.where(ok, idx, -1), d1, ok)
 
 
+def predict_scale(
+    dist: jnp.ndarray, max_dist_p: jnp.ndarray, n_levels: int, scale_factor: float
+) -> jnp.ndarray:
+    """Expected pyramid octave of a landmark at viewing distance `dist`
+    (MapPoint::PredictScale): octave = ceil(log(maxDist/dist)/log(s))."""
+    ratio = jnp.maximum(max_dist_p, 1e-6) / jnp.maximum(dist, 1e-6)
+    oct_f = jnp.ceil(jnp.log(ratio) / jnp.log(scale_factor))
+    return jnp.clip(oct_f, 0, n_levels - 1).astype(jnp.int32)
+
+
 def search_by_projection(
     points_w: jnp.ndarray,
     desc_p: jnp.ndarray,
@@ -86,6 +96,9 @@ def search_by_projection(
     max_dist: int = TH_HIGH,
     ratio: float = 1.0,
     check_ur: bool = False,
+    max_dist_p: jnp.ndarray | None = None,
+    min_dist_p: jnp.ndarray | None = None,
+    normal_p: jnp.ndarray | None = None,
 ) -> Matches:
     """Project world landmarks into a frame and match within a windowed
     radius (SearchByProjection, the motion-model / local-map variants).
@@ -96,10 +109,17 @@ def search_by_projection(
       Rcw, tcw: candidate camera pose.
       frame: Frame (xy, desc, octave, valid, u_right).
       radius: base search radius in pixels, scaled by the landmark's
-        pyramid level as the reference does.
+        (predicted) pyramid level as the reference does.
+      max_dist_p/min_dist_p: scale-invariance distance range; when given,
+        the expected octave is PREDICTED from viewing distance
+        (MapPoint::PredictScale) instead of using the creation octave,
+        and out-of-range landmarks are rejected (Frame::isInFrustum).
+      normal_p: mean viewing normals; gates view angle < 60 deg.
     Returns per-landmark Matches into frame keypoints.
     """
     scales = jnp.asarray(level_scales, dtype=jnp.float32)
+    n_levels = len(level_scales)
+    scale_factor = float(level_scales[1] / level_scales[0]) if n_levels > 1 else 1.2
     xc = se3_apply(Rcw, tcw, points_w)
     obs = project_stereo(cam, xc)  # [M, 3] (u, v, uR)
     in_front = xc[:, 2] > 0.1
@@ -107,7 +127,19 @@ def search_by_projection(
         (obs[:, 0] >= 0) & (obs[:, 0] < cam.width)
         & (obs[:, 1] >= 0) & (obs[:, 1] < cam.height)
     )
-    r = radius * scales[jnp.clip(octave_p, 0, len(level_scales) - 1)]
+    dist_ok = jnp.ones_like(in_front)
+    view_ok = jnp.ones_like(in_front)
+    if max_dist_p is not None:
+        cam_center = -jnp.einsum("ji,j->i", Rcw, tcw)
+        view = points_w - cam_center
+        dist = jnp.linalg.norm(view, axis=-1)
+        octave_p = predict_scale(dist, max_dist_p, n_levels, scale_factor)
+        if min_dist_p is not None:
+            dist_ok = (dist >= 0.8 * min_dist_p) & (dist <= 1.2 * max_dist_p)
+        if normal_p is not None:
+            cosang = jnp.sum(view * normal_p, axis=-1) / jnp.maximum(dist, 1e-6)
+            view_ok = cosang > 0.5
+    r = radius * scales[jnp.clip(octave_p, 0, n_levels - 1)]
 
     du = obs[:, 0:1] - frame.xy[None, :, 0]
     dv = obs[:, 1:2] - frame.xy[None, :, 1]
@@ -128,6 +160,8 @@ def search_by_projection(
         valid_p
         & in_front
         & in_img
+        & dist_ok
+        & view_ok
         & (d1 < max_dist)
         & (d1.astype(jnp.float32) <= ratio * d2.astype(jnp.float32))
     )

@@ -1,0 +1,425 @@
+"""Per-frame tracking state machine + inline local mapping.
+
+TPU-native rebuild of src/Tracking.cc and src/LocalMapping.cc
+(SURVEY.md §2.1 rows 2-3, §3.2-3.3).  The reference's
+Tracking/LocalMapping pthreads become two device programs driven from
+one host loop: a per-frame ``track`` (motion-model match → pose opt →
+local-map match → pose opt) and a per-keyframe ``map step`` (landmark
+creation, culling, local BA).  All device work is static-shape jitted;
+the host does bookkeeping only.
+
+State machine: NOT_INITIALIZED → OK ↔ LOST, as the reference
+(relocalization against keyframe descriptors brings LOST back to OK).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..backend.pose_opt import pose_optimize
+from ..backend.local_ba import bundle_adjust
+from ..config import SlamConfig
+from ..frontend.frame import Frame, build_stereo_frame
+from ..geometry.camera import backproject
+from ..geometry.se3 import se3_apply, se3_compose, se3_inverse
+from ..matching.point_matcher import (
+    match_descriptors,
+    resolve_duplicates,
+    rotation_consistency,
+    search_by_projection,
+)
+from ..slam_map.map_store import MapStore
+
+
+@dataclasses.dataclass
+class TrajectoryEntry:
+    frame_id: int
+    timestamp: float
+    ref_kf: int
+    R_rel: np.ndarray  # T_cam<-refKF
+    t_rel: np.ndarray
+    lost: bool
+
+
+class Tracker:
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.map = MapStore(cfg.map, cfg.orb.n_features)
+        self.state = "NOT_INITIALIZED"
+        self.R = np.eye(3, dtype=np.float32)
+        self.t = np.zeros(3, np.float32)
+        self.vel: Optional[tuple[np.ndarray, np.ndarray]] = None  # T_k<-k-1
+        self.last_frame: Optional[Frame] = None
+        self.last_assoc: Optional[np.ndarray] = None
+        self.last_R = np.eye(3, dtype=np.float32)
+        self.last_t = np.zeros(3, np.float32)
+        self.ref_kf = -1
+        self.frame_id = -1
+        self.frames_since_kf = 0
+        self.ref_kf_matches = 0
+        self.recent_lm: list[np.ndarray] = []
+        self.trajectory: list[TrajectoryEntry] = []
+        self.stats: list[dict] = []
+
+    # ------------------------------------------------------------------
+    def process_stereo(self, img_left, img_right, timestamp: float = 0.0):
+        """Track one rectified stereo pair; returns 4x4 Tcw (world->cam)."""
+        self.frame_id += 1
+        frame = build_stereo_frame(jnp.asarray(img_left), jnp.asarray(img_right), self.cfg)
+        return self._track(frame, timestamp)
+
+    def process_frame(self, frame: Frame, timestamp: float = 0.0):
+        self.frame_id += 1
+        return self._track(frame, timestamp)
+
+    # ------------------------------------------------------------------
+    def _track(self, frame: Frame, timestamp: float):
+        cfg = self.cfg
+        n_inliers = 0
+        assoc = np.full(frame.n, -1, np.int32)
+
+        if self.state == "NOT_INITIALIZED":
+            if int(np.asarray(frame.has_depth).sum()) >= 100:
+                self._stereo_initialize(frame, timestamp)
+            self._record(timestamp, lost=(self.state != "OK"))
+            return self.current_pose()
+
+        ok = False
+        if self.state == "OK" and self.vel is not None:
+            ok, assoc, n_inliers = self._track_motion_model(frame)
+        if not ok:
+            ok, assoc, n_inliers = self._track_reference_kf(frame)
+        if not ok:
+            ok, assoc, n_inliers = self._relocalize(frame)
+
+        if ok:
+            assoc, n_inliers = self._track_local_map(frame, assoc)
+            ok = n_inliers >= 10
+
+        if ok:
+            self.state = "OK"
+            # velocity = T_curr * T_last^-1
+            Rl_i, tl_i = se3_inverse(jnp.asarray(self.last_R), jnp.asarray(self.last_t))
+            dR, dt = se3_compose(jnp.asarray(self.R), jnp.asarray(self.t), Rl_i, tl_i)
+            self.vel = (np.asarray(dR), np.asarray(dt))
+
+            if self._need_keyframe(frame, assoc, n_inliers):
+                self._create_keyframe(frame, assoc, timestamp)
+                self.frames_since_kf = 0
+            else:
+                self.frames_since_kf += 1
+        else:
+            self.state = "LOST"
+            self.vel = None
+
+        self.last_frame = frame
+        self.last_assoc = assoc
+        self.last_R = self.R.copy()
+        self.last_t = self.t.copy()
+        self.stats.append({"frame": self.frame_id, "inliers": n_inliers, "state": self.state})
+        self._record(timestamp, lost=not ok)
+        return self.current_pose()
+
+    # ------------------------------------------------------------------
+    def current_pose(self) -> np.ndarray:
+        T = np.eye(4)
+        T[:3, :3] = self.R
+        T[:3, 3] = self.t
+        return T
+
+    def _record(self, timestamp, lost):
+        if self.ref_kf < 0:
+            self.trajectory.append(
+                TrajectoryEntry(self.frame_id, timestamp, -1, np.eye(3), np.zeros(3), True)
+            )
+            return
+        # T_c<-r = T_cw * T_rw^-1   (replayed against the *final* KF pose
+        # at save time — SURVEY.md §3.5's relative-to-refKF scheme).
+        Rr, tr = self.map.kf_R[self.ref_kf], self.map.kf_t[self.ref_kf]
+        Rri, tri = se3_inverse(jnp.asarray(Rr), jnp.asarray(tr))
+        Rrel, trel = se3_compose(jnp.asarray(self.R), jnp.asarray(self.t), Rri, tri)
+        self.trajectory.append(
+            TrajectoryEntry(
+                self.frame_id, timestamp, self.ref_kf,
+                np.asarray(Rrel), np.asarray(trel), lost,
+            )
+        )
+
+    def final_trajectory(self):
+        """Replay per-frame relative poses against final keyframe poses."""
+        out = []
+        for e in self.trajectory:
+            if e.ref_kf < 0:
+                out.append((e.frame_id, e.timestamp, np.eye(3), np.zeros(3), e.lost))
+                continue
+            Rr, tr = self.map.kf_R[e.ref_kf], self.map.kf_t[e.ref_kf]
+            R, t = se3_compose(
+                jnp.asarray(e.R_rel), jnp.asarray(e.t_rel), jnp.asarray(Rr), jnp.asarray(tr)
+            )
+            out.append((e.frame_id, e.timestamp, np.asarray(R), np.asarray(t), e.lost))
+        return out
+
+    # ------------------------------------------------------------------
+    def _stereo_initialize(self, frame: Frame, timestamp):
+        self.R = np.eye(3, dtype=np.float32)
+        self.t = np.zeros(3, np.float32)
+        kf = self.map.add_keyframe(frame, self.R, self.t, self.frame_id, timestamp)
+        depth = np.asarray(frame.depth)
+        valid = np.asarray(frame.valid) & (depth > 0)
+        idx = np.nonzero(valid)[0]
+        pts_c = np.asarray(backproject(self.cfg.camera, frame.xy, frame.depth))
+        ids = self.map.add_points(
+            pts_c[idx], np.asarray(frame.desc)[idx], np.asarray(frame.octave)[idx], kf, idx
+        )
+        self.recent_lm.append(ids)
+        self.ref_kf = kf
+        self.ref_kf_matches = len(ids)
+        self.state = "OK"
+        self.last_frame = frame
+        self.last_assoc = self.map.kf_obs_lm[kf].copy()
+        self.last_R = self.R.copy()
+        self.last_t = self.t.copy()
+        self.vel = None
+        self.frames_since_kf = 0
+
+    # ------------------------------------------------------------------
+    def _pose_opt_from_assoc(self, frame, assoc, R0, t0):
+        """Run motion-only BA on the current landmark associations."""
+        sel = assoc >= 0
+        lm = np.where(sel, assoc, 0)
+        pts = self.map.pt_pos[lm]
+        obs = np.stack(
+            [
+                np.asarray(frame.xy[:, 0]),
+                np.asarray(frame.xy[:, 1]),
+                np.asarray(frame.u_right),
+            ],
+            -1,
+        ).astype(np.float32)
+        res = pose_optimize(
+            jnp.asarray(R0), jnp.asarray(t0),
+            jnp.asarray(pts), jnp.asarray(obs),
+            frame.octave, jnp.asarray(sel & np.asarray(frame.valid)),
+            self.cfg.camera, self.cfg.orb.scale_factor,
+        )
+        inl = np.asarray(res.inliers)
+        assoc = np.where(inl, assoc, -1)
+        return np.asarray(res.R), np.asarray(res.t), assoc, int(res.n_inliers)
+
+    def _track_motion_model(self, frame: Frame):
+        dR, dt = self.vel
+        Rp, tp = se3_compose(jnp.asarray(dR), jnp.asarray(dt), jnp.asarray(self.R), jnp.asarray(self.t))
+        la = self.last_assoc
+        sel = (la >= 0) & self.map.pt_valid[np.clip(la, 0, self.map.P - 1)]
+        lm = np.where(sel, la, 0)
+        pts = jnp.asarray(self.map.pt_pos[lm])
+        desc = jnp.asarray(self.map.pt_desc[lm])
+        octv = self.last_frame.octave
+        m = search_by_projection(
+            pts, desc, jnp.asarray(sel), octv,
+            Rp, tp, frame, self.cfg.camera, self.cfg.orb.level_scales,
+            radius=self.cfg.tracking.motion_search_radius, ratio=0.9, check_ur=True,
+            max_dist_p=jnp.asarray(self.map.pt_max_dist[lm]),
+        )
+        m = resolve_duplicates(m, frame.n)
+        keep = rotation_consistency(
+            self.last_frame.angle, frame.angle[m.idx], np.asarray(m.mask)
+        )
+        midx = np.asarray(m.idx)
+        keep = np.asarray(keep)
+        if keep.sum() < 20:
+            return False, np.full(frame.n, -1, np.int32), 0
+        assoc = np.full(frame.n, -1, np.int32)
+        assoc[midx[keep]] = np.where(sel, la, -1)[keep]
+        R, t, assoc, n_inl = self._pose_opt_from_assoc(frame, assoc, np.asarray(Rp), np.asarray(tp))
+        if n_inl < 10:
+            return False, assoc, n_inl
+        self.R, self.t = R, t
+        return True, assoc, n_inl
+
+    def _track_reference_kf(self, frame: Frame):
+        if self.ref_kf < 0:
+            return False, np.full(frame.n, -1, np.int32), 0
+        k = self.ref_kf
+        kf_lm = self.map.kf_obs_lm[k]
+        has_lm = (kf_lm >= 0) & self.map.pt_valid[np.clip(kf_lm, 0, self.map.P - 1)]
+        m = match_descriptors(
+            frame.desc, frame.valid,
+            jnp.asarray(self.map.kf_desc[k]), jnp.asarray(has_lm),
+            max_dist=50, ratio=0.7,
+        )
+        keep = rotation_consistency(
+            frame.angle, jnp.asarray(self.map.kf_angle[k])[m.idx], np.asarray(m.mask)
+        )
+        keep = np.asarray(keep)
+        if keep.sum() < 15:
+            return False, np.full(frame.n, -1, np.int32), 0
+        assoc = np.full(frame.n, -1, np.int32)
+        midx = np.asarray(m.idx)
+        assoc[keep] = kf_lm[midx[keep]]
+        R, t, assoc, n_inl = self._pose_opt_from_assoc(frame, assoc, self.last_R, self.last_t)
+        if n_inl < 10:
+            return False, assoc, n_inl
+        self.R, self.t = R, t
+        return True, assoc, n_inl
+
+    def _relocalize(self, frame: Frame):
+        """Brute-force relocalization: try recent keyframes' descriptors
+        (KeyFrameDatabase BoW candidates come with the loop module)."""
+        cand = [k for k in range(self.map._next_kf - 1, -1, -1) if self.map.kf_valid[k]][:5]
+        for k in cand:
+            self.ref_kf = k
+            saved_R, saved_t = self.last_R, self.last_t
+            self.last_R = self.map.kf_R[k].copy()
+            self.last_t = self.map.kf_t[k].copy()
+            ok, assoc, n_inl = self._track_reference_kf(frame)
+            if ok and n_inl >= self.cfg.tracking.min_inliers_ok:
+                return True, assoc, n_inl
+            self.last_R, self.last_t = saved_R, saved_t
+        return False, np.full(frame.n, -1, np.int32), 0
+
+    # ------------------------------------------------------------------
+    def _track_local_map(self, frame: Frame, assoc):
+        cfg = self.cfg
+        cap = cfg.map.local_points
+        # Local keyframes: covisible neighbours of the reference KF.
+        ids, _ = self.map.covisible_keyframes(self.ref_kf, min_weight=1, max_n=20)
+        local_kfs = [self.ref_kf] + [int(i) for i in ids]
+        lm = np.unique(
+            np.concatenate(
+                [self.map.kf_obs_lm[k][self.map.kf_obs_lm[k] >= 0] for k in local_kfs]
+            )
+        )
+        lm = lm[self.map.pt_valid[lm]]
+        lm = lm[:cap]
+        n_local = len(lm)
+        pts = np.zeros((cap, 3), np.float32)
+        desc = np.zeros((cap, 32), np.uint8)
+        octv = np.zeros(cap, np.int32)
+        valid = np.zeros(cap, bool)
+        maxd = np.full(cap, 1.0, np.float32)
+        mind = np.zeros(cap, np.float32)
+        normal = np.zeros((cap, 3), np.float32)
+        pts[:n_local] = self.map.pt_pos[lm]
+        desc[:n_local] = self.map.pt_desc[lm]
+        octv[:n_local] = self.map.pt_oct[lm]
+        valid[:n_local] = True
+        maxd[:n_local] = self.map.pt_max_dist[lm]
+        mind[:n_local] = self.map.pt_min_dist[lm]
+        normal[:n_local] = self.map.pt_normal[lm]
+        # Don't re-match landmarks already associated this frame.
+        already = np.isin(lm, assoc[assoc >= 0])
+        valid_search = valid.copy()
+        valid_search[:n_local] &= ~already
+
+        m = search_by_projection(
+            jnp.asarray(pts), jnp.asarray(desc), jnp.asarray(valid_search),
+            jnp.asarray(octv), jnp.asarray(self.R), jnp.asarray(self.t),
+            frame, cfg.camera, cfg.orb.level_scales,
+            radius=4.0, max_dist=50, ratio=0.8, check_ur=True,
+            max_dist_p=jnp.asarray(maxd), min_dist_p=jnp.asarray(mind),
+            normal_p=jnp.asarray(normal),
+        )
+        m = resolve_duplicates(m, frame.n)
+        midx = np.asarray(m.idx)
+        mmask = np.asarray(m.mask)
+        new_assoc = assoc.copy()
+        rows = np.nonzero(mmask)[0]
+        rows = rows[rows < n_local]
+        for r in rows:
+            f = midx[r]
+            if new_assoc[f] < 0:
+                new_assoc[f] = lm[r]
+
+        R, t, new_assoc, n_inl = self._pose_opt_from_assoc(frame, new_assoc, self.R, self.t)
+        self.R, self.t = R, t
+        found = new_assoc[new_assoc >= 0]
+        self.map.pt_found[found] += 1
+        self.map.pt_visible[lm] += 1
+        return new_assoc, n_inl
+
+    # ------------------------------------------------------------------
+    def _need_keyframe(self, frame: Frame, assoc, n_inliers):
+        cfg = self.cfg.tracking
+        if self.map._next_kf >= self.cfg.map.max_keyframes - 2:
+            return False
+        depth = np.asarray(frame.depth)
+        valid = np.asarray(frame.valid)
+        close = valid & (depth > 0) & (depth < cfg.th_depth * self.cfg.camera.baseline)
+        tracked_close = int((close & (assoc >= 0)).sum())
+        untracked_close = int((close & (assoc < 0)).sum())
+        need_close = tracked_close < 100 and untracked_close > 70
+        ref_ratio = 0.75
+        c1 = self.frames_since_kf >= cfg.max_frames_between_kf
+        # ref_kf_matches is the inlier count when the reference KF was
+        # created: insert when tracking quality decays below 75% of it
+        # (the reference compares against the ref KF's tracked map
+        # points) or close points starve.
+        c2 = n_inliers < self.ref_kf_matches * ref_ratio or need_close
+        c_min = self.frames_since_kf >= 2 or need_close
+        return (c1 or (c2 and c_min)) and n_inliers > 15
+
+    def _create_keyframe(self, frame: Frame, assoc, timestamp):
+        cfg = self.cfg
+        kf = self.map.add_keyframe(
+            frame, self.R, self.t, self.frame_id, timestamp, lm_assoc=assoc
+        )
+        # New landmarks from stereo depth for unassociated features
+        # (close ones always; mirrors Tracking::CreateNewKeyFrame).
+        depth = np.asarray(frame.depth)
+        valid = np.asarray(frame.valid)
+        baseline = cfg.camera.baseline
+        candidates = np.nonzero(valid & (depth > 0) & (assoc < 0))[0]
+        if len(candidates):
+            order = candidates[np.argsort(depth[candidates])]
+            close = depth[order] < cfg.tracking.th_depth * baseline
+            n_close = close.sum()
+            keep = order[close] if n_close >= 100 else order[:100]
+            pts_c = np.asarray(backproject(cfg.camera, frame.xy, frame.depth))[keep]
+            Rwc, twc = se3_inverse(jnp.asarray(self.R), jnp.asarray(self.t))
+            pts_w = np.asarray(se3_apply(Rwc, twc, jnp.asarray(pts_c)))
+            ids = self.map.add_points(
+                pts_w, np.asarray(frame.desc)[keep], np.asarray(frame.octave)[keep], kf, keep
+            )
+            self.recent_lm.append(ids)
+
+        # Landmark stats for everything this KF observes.
+        seen = self.map.kf_obs_lm[kf]
+        self.map.update_point_stats(seen[seen >= 0])
+
+        # --- inline local mapping step ---
+        if len(self.recent_lm) > 3:
+            old = self.recent_lm.pop(0)
+            self.map.cull_points(kf, old)
+        if self.map.n_keyframes() >= 3:
+            self._local_ba(kf)
+
+        self.ref_kf = kf
+        # Tracking quality at creation time (floor avoids KF starvation
+        # in sparse scenes).
+        self.ref_kf_matches = max(int((np.asarray(frame.valid) & (assoc >= 0)).sum()), 40)
+
+    def _local_ba(self, center_kf):
+        mc = self.cfg.map
+        pack = self.map.pack_local_ba(
+            center_kf,
+            max_cams=mc.local_window + 16,
+            max_points=mc.local_points,
+            max_obs=(mc.local_window + 16) * 512,
+        )
+        res = bundle_adjust(
+            jnp.asarray(pack["R"]), jnp.asarray(pack["t"]), jnp.asarray(pack["cam_fixed"]),
+            jnp.asarray(pack["points"]), jnp.asarray(pack["point_valid"]),
+            jnp.asarray(pack["obs_cam"]), jnp.asarray(pack["obs_lm"]),
+            jnp.asarray(pack["obs_uvur"]), jnp.asarray(pack["obs_oct"]),
+            jnp.asarray(pack["obs_valid"]), self.cfg.camera,
+            self.cfg.orb.scale_factor,
+        )
+        self.map.apply_ba_result(pack, res)
+        # Current pose rides with the reference KF.
+        self.R = self.map.kf_R[center_kf].copy()
+        self.t = self.map.kf_t[center_kf].copy()
