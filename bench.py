@@ -1,0 +1,75 @@
+"""Benchmark: stereo front-end frames/sec on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the per-frame device program (dual ORB extraction + stereo
+row-band matching + SAD refine, KITTI-sized 376x1241 images, 2000
+features) in steady state.  vs_baseline is against the reference
+family's CPU tracking front-end at ~30 fps (25-60 ms/frame on a desktop
+i7 — SURVEY.md §6 planning figures; BASELINE.json has no published
+numbers and the reference mount was empty)."""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_FPS = 30.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from orb_line_slam_tpu.config import OrbConfig, SlamConfig
+    from orb_line_slam_tpu.frontend.frame import build_stereo_frame
+    from orb_line_slam_tpu.geometry.camera import CameraIntrinsics
+
+    cam = CameraIntrinsics(
+        fx=718.856, fy=718.856, cx=607.1928, cy=185.2157, bf=386.1448,
+        width=1241, height=376,
+    )
+    cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=2000, n_levels=8))
+
+    rng = np.random.default_rng(0)
+    # Textured random frames (content doesn't matter for throughput:
+    # every kernel is static-shape and data-independent).
+    imgs = [
+        (
+            jnp.asarray(rng.integers(0, 255, (376, 1241), dtype=np.uint8)),
+            jnp.asarray(rng.integers(0, 255, (376, 1241), dtype=np.uint8)),
+        )
+        for _ in range(4)
+    ]
+
+    # NOTE: through the axon PJRT tunnel block_until_ready can return
+    # before execution finishes; a scalar reduction fetch is the only
+    # honest completion barrier.
+    def step(l, r):
+        out = build_stereo_frame(l, r, cfg)
+        return float(jnp.sum(out.depth) + jnp.sum(out.response))
+
+    step(*imgs[0])  # warmup/compile
+    step(*imgs[1])
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        step(*imgs[i % len(imgs)])
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "stereo_frontend_fps_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
