@@ -1,0 +1,100 @@
+"""Line Band Descriptor (LBD) as batched gather + band reductions.
+
+Replaces the vendored BinaryDescriptor of the line_descriptor module
+(Thirdparty/line_descriptor binary_descriptor.cpp, verified interface
+at /usr/include/opencv4/opencv2/line_descriptor/descriptor.hpp:195-290
+— SURVEY.md §2.2): band-based gradient statistics along the line
+support region, binarized to a 256-bit string matched by Hamming
+distance exactly like ORB descriptors (shared MXU kernels).
+
+Construction (following Zhang & Koch's LBD):
+  - sample S points along the segment; at each, sample the gradient in
+    9 bands of width 7 perpendicular to the line;
+  - per band, accumulate (g_perp+, g_perp-, g_par+, g_par-) sums and
+    their absolute magnitudes -> mean and std statistics (8 floats per
+    band, 72-dim float LBD);
+  - binarize with a fixed pseudo-random comparison pattern of 256
+    index pairs (self-consistent across the whole engine; OpenCV's
+    exact bit layout is not reproduced — matching semantics are).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .hamming import pack_bits
+from .image import bilinear_sample, sobel_gradients
+
+N_BANDS = 9
+BAND_W = 7
+N_SAMPLES = 24  # samples along the line
+
+
+@functools.lru_cache()
+def _comparison_pattern() -> np.ndarray:
+    """[256, 2] index pairs into the 72-dim float LBD."""
+    rng = np.random.default_rng(0x1BD)
+    pairs = []
+    while len(pairs) < 256:
+        i, j = rng.integers(0, 72, 2)
+        if i != j:
+            pairs.append((i, j))
+    return np.asarray(pairs, np.int32)
+
+
+def lbd_descriptors(
+    img: jnp.ndarray,
+    p0: jnp.ndarray,
+    p1: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> jnp.ndarray:
+    """Compute packed 32-byte LBD descriptors for L segments.
+
+    img: [H, W] float; p0/p1: [L, 2] endpoints; valid: [L].
+    Returns uint8 [L, 32].
+    """
+    gx, gy = sobel_gradients(img.astype(jnp.float32))
+
+    d = p1 - p0
+    length = jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-6
+    dl = d / length                      # unit direction [L, 2]
+    dperp = jnp.stack([-dl[:, 1], dl[:, 0]], -1)  # unit normal
+
+    ts = jnp.linspace(0.0, 1.0, N_SAMPLES)
+    band_off = (jnp.arange(N_BANDS) - (N_BANDS - 1) / 2.0) * BAND_W
+
+    # Sample grid: [L, S, B, 2]
+    centers = p0[:, None, :] + d[:, None, :] * ts[None, :, None]
+    pts = (
+        centers[:, :, None, :]
+        + dperp[:, None, None, :] * band_off[None, None, :, None]
+    )
+    sgx = bilinear_sample(gx, pts)  # [L, S, B]
+    sgy = bilinear_sample(gy, pts)
+
+    # Project gradients into the line frame.
+    g_par = sgx * dl[:, None, None, 0] + sgy * dl[:, None, None, 1]
+    g_prp = sgx * dperp[:, None, None, 0] + sgy * dperp[:, None, None, 1]
+
+    def stats(g):
+        pos = jnp.maximum(g, 0.0)
+        neg = jnp.maximum(-g, 0.0)
+        m_pos = jnp.mean(pos, axis=1)   # [L, B]
+        m_neg = jnp.mean(neg, axis=1)
+        s_pos = jnp.std(pos, axis=1)
+        s_neg = jnp.std(neg, axis=1)
+        return m_pos, m_neg, s_pos, s_neg
+
+    feats = jnp.stack(stats(g_prp) + stats(g_par), axis=-1)  # [L, B, 8]
+    v = feats.reshape(feats.shape[0], N_BANDS * 8)           # [L, 72]
+    # Scale-normalize so the comparisons are contrast-invariant.
+    v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-6)
+
+    pat = jnp.asarray(_comparison_pattern())
+    bits = (v[:, pat[:, 0]] > v[:, pat[:, 1]]).astype(jnp.uint8)
+    desc = pack_bits(bits)
+    return jnp.where(valid[:, None], desc, 0)
