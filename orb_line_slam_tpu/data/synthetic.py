@@ -89,15 +89,10 @@ class SyntheticScene:
 
         cam = self.cam
         h, w = cam.height, cam.width
+        # Flat background: any texture here would be fixed in SCREEN
+        # space (not world space) and would corrupt descriptors of
+        # features whose sampling pattern overlaps it.
         img = np.full((h, w), self.bg, dtype=np.uint8)
-        # Low-amplitude background texture so empty regions don't alias.
-        rng = np.random.default_rng(42)
-        noise = rng.integers(-6, 6, size=(h // 8, w // 8))
-        img = np.clip(
-            img.astype(np.int32) + np.kron(noise, np.ones((8, 8), np.int32))[:h, :w],
-            0,
-            255,
-        ).astype(np.uint8)
 
         xc = (R_cw @ self.points.T).T + t_cw
         xc = xc - np.array([baseline_shift, 0.0, 0.0])  # right cam offset
@@ -149,8 +144,19 @@ class SyntheticScene:
         if self.lines is not None:
             for seg in self.lines:
                 pc = (R_cw @ seg.T).T + t_cw - np.array([baseline_shift, 0.0, 0.0])
-                if pc[0, 2] < 0.5 or pc[1, 2] < 0.5:
+                # Clip against the z=1 near plane (shorten, don't skip —
+                # and never project near-zero depths, which would paint
+                # streaks across the whole frame).
+                z0, z1 = pc[0, 2], pc[1, 2]
+                if z0 < 1.0 and z1 < 1.0:
                     continue
+                pc = pc.copy()
+                if z0 < 1.0:
+                    a = (1.0 - z0) / (z1 - z0)
+                    pc[0] = pc[0] + a * (pc[1] - pc[0])
+                elif z1 < 1.0:
+                    a = (1.0 - z1) / (z0 - z1)
+                    pc[1] = pc[1] + a * (pc[0] - pc[1])
                 p0 = (
                     cam.fx * pc[0, 0] / pc[0, 2] + cam.cx,
                     cam.fy * pc[0, 1] / pc[0, 2] + cam.cy,

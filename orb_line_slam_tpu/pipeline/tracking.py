@@ -48,7 +48,10 @@ class TrajectoryEntry:
 class Tracker:
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
-        self.map = MapStore(cfg.map, cfg.orb.n_features)
+        n_lines = cfg.lines.n_lines if cfg.lines.enabled else 0
+        self.map = MapStore(cfg.map, cfg.orb.n_features, n_lines=n_lines)
+        self.cur_lines = None   # LineFeatures of the current frame
+        self.cur_ln_assoc = None
         self.state = "NOT_INITIALIZED"
         self.R = np.eye(3, dtype=np.float32)
         self.t = np.zeros(3, np.float32)
@@ -69,7 +72,13 @@ class Tracker:
     def process_stereo(self, img_left, img_right, timestamp: float = 0.0):
         """Track one rectified stereo pair; returns 4x4 Tcw (world->cam)."""
         self.frame_id += 1
-        frame = build_stereo_frame(jnp.asarray(img_left), jnp.asarray(img_right), self.cfg)
+        l = jnp.asarray(img_left)
+        r = jnp.asarray(img_right)
+        frame = build_stereo_frame(l, r, self.cfg)
+        if self.cfg.lines.enabled:
+            from ..frontend.line_extractor import build_line_features
+
+            self.cur_lines = build_line_features(l, r, self.cfg.camera, self.cfg.lines)
         return self._track(frame, timestamp)
 
     def process_frame(self, frame: Frame, timestamp: float = 0.0):
@@ -187,7 +196,7 @@ class Tracker:
         self.frames_since_kf = 0
 
     # ------------------------------------------------------------------
-    def _pose_opt_from_assoc(self, frame, assoc, R0, t0):
+    def _pose_opt_from_assoc(self, frame, assoc, R0, t0, line_kw=None):
         """Run motion-only BA on the current landmark associations."""
         sel = assoc >= 0
         lm = np.where(sel, assoc, 0)
@@ -205,6 +214,7 @@ class Tracker:
             jnp.asarray(pts), jnp.asarray(obs),
             frame.octave, jnp.asarray(sel & np.asarray(frame.valid)),
             self.cfg.camera, self.cfg.orb.scale_factor,
+            **(line_kw or {}),
         )
         inl = np.asarray(res.inliers)
         assoc = np.where(inl, assoc, -1)
@@ -335,12 +345,58 @@ class Tracker:
             if new_assoc[f] < 0:
                 new_assoc[f] = lm[r]
 
-        R, t, new_assoc, n_inl = self._pose_opt_from_assoc(frame, new_assoc, self.R, self.t)
+        line_kw = self._match_map_lines()
+        R, t, new_assoc, n_inl = self._pose_opt_from_assoc(
+            frame, new_assoc, self.R, self.t, line_kw=line_kw
+        )
         self.R, self.t = R, t
         found = new_assoc[new_assoc >= 0]
         self.map.pt_found[found] += 1
         self.map.pt_visible[lm] += 1
         return new_assoc, n_inl
+
+    def _match_map_lines(self):
+        """Match 3D map lines into the current frame's line features;
+        returns pose-optimizer kwargs (or None when lines are off)."""
+        lf = self.cur_lines
+        self.cur_ln_assoc = None
+        if lf is None or not self.map.ln_valid.any():
+            return None
+        from ..backend.residuals import line_obs_coeffs
+        from ..matching.line_matcher import search_lines_by_projection
+
+        cap = self.cfg.lines.n_lines
+        ids = np.nonzero(self.map.ln_valid)[0][:cap]
+        n = len(ids)
+        starts = np.zeros((cap, 3), np.float32)
+        ends = np.zeros((cap, 3), np.float32)
+        descs = np.zeros((cap, 32), np.uint8)
+        valid = np.zeros(cap, bool)
+        starts[:n] = self.map.ln_start[ids]
+        ends[:n] = self.map.ln_end[ids]
+        descs[:n] = self.map.ln_desc[ids]
+        valid[:n] = True
+        m = search_lines_by_projection(
+            jnp.asarray(starts), jnp.asarray(ends), jnp.asarray(descs),
+            jnp.asarray(valid), jnp.asarray(self.R), jnp.asarray(self.t),
+            lf, self.cfg.camera,
+        )
+        mask = np.asarray(m.mask)
+        idx = np.asarray(m.idx)
+        if mask.sum() < 3:
+            return None
+        obs = line_obs_coeffs(lf.p0[m.idx], lf.p1[m.idx])
+        ln_assoc = np.full(lf.n, -1, np.int32)
+        rows = np.nonzero(mask)[0]
+        ln_assoc[idx[rows[rows < n]]] = ids[rows[rows < n]]
+        self.cur_ln_assoc = ln_assoc
+        return {
+            "line_start_w": jnp.asarray(starts),
+            "line_end_w": jnp.asarray(ends),
+            "line_obs": obs,
+            "line_octave": jnp.zeros(cap, jnp.int32),
+            "line_valid": jnp.asarray(mask & valid),
+        }
 
     # ------------------------------------------------------------------
     def _need_keyframe(self, frame: Frame, assoc, n_inliers):
@@ -386,6 +442,36 @@ class Tracker:
                 pts_w, np.asarray(frame.desc)[keep], np.asarray(frame.octave)[keep], kf, keep
             )
             self.recent_lm.append(ids)
+
+        # Line landmarks: store this KF's line features; create 3D lines
+        # from stereo endpoint depths for unmatched steep lines
+        # (CreateNewMapLines analog).
+        if self.cfg.lines.enabled and self.cur_lines is not None:
+            lf = self.cur_lines
+            ln_assoc = (
+                self.cur_ln_assoc
+                if self.cur_ln_assoc is not None
+                else np.full(lf.n, -1, np.int32)
+            )
+            self.map.set_kf_lines(kf, lf, ln_assoc)
+            d0 = np.asarray(lf.depth0)
+            d1 = np.asarray(lf.depth1)
+            new_ln = np.nonzero(
+                np.asarray(lf.valid) & (d0 > 0) & (d1 > 0) & (ln_assoc < 0)
+            )[0]
+            if len(new_ln):
+                Rwc, twc = se3_inverse(jnp.asarray(self.R), jnp.asarray(self.t))
+                s_c = np.asarray(
+                    backproject(cfg.camera, lf.p0[new_ln], lf.depth0[new_ln])
+                )
+                e_c = np.asarray(
+                    backproject(cfg.camera, lf.p1[new_ln], lf.depth1[new_ln])
+                )
+                s_w = np.asarray(se3_apply(Rwc, twc, jnp.asarray(s_c)))
+                e_w = np.asarray(se3_apply(Rwc, twc, jnp.asarray(e_c)))
+                ids = self.map.add_lines(
+                    s_w, e_w, np.asarray(lf.desc)[new_ln], kf, new_ln
+                )
 
         # Landmark stats for everything this KF observes.
         seen = self.map.kf_obs_lm[kf]

@@ -58,17 +58,22 @@ class MapStore:
         self._next_kf = 0
         self._free_pts = list(range(P - 1, -1, -1))
 
-        # --- 3D line segments ---
+        # --- 3D line segments (MapLine analog, SURVEY.md §2.1 row 8) ---
         L = cfg.max_lines
         self.L = L
+        self.Lf = n_lines  # line-feature slots per keyframe
         self.ln_valid = np.zeros(L, bool)
         self.ln_start = np.zeros((L, 3), np.float32)
         self.ln_end = np.zeros((L, 3), np.float32)
         self.ln_desc = np.zeros((L, 32), np.uint8)
         self.ln_first_kf = np.full(L, -1, np.int32)
         self._free_lines = list(range(L - 1, -1, -1))
-        # per-KF line slots are created lazily by the pipeline when line
-        # features are enabled (kf_ln_obs etc. attached there).
+        if n_lines:
+            self.kf_ln_p0 = np.zeros((K, n_lines, 2), np.float32)
+            self.kf_ln_p1 = np.zeros((K, n_lines, 2), np.float32)
+            self.kf_ln_desc = np.zeros((K, n_lines, 32), np.uint8)
+            self.kf_ln_valid = np.zeros((K, n_lines), bool)
+            self.kf_ln_obs = np.full((K, n_lines), -1, np.int32)
 
     # ------------------------------------------------------------------
     # keyframes
@@ -102,6 +107,45 @@ class MapStore:
 
     def n_keyframes(self) -> int:
         return int(self.kf_valid.sum())
+
+    def set_kf_lines(self, kf_id, line_feat, ln_assoc=None):
+        """Attach a keyframe's line features (frontend LineFeatures)."""
+        if not self.Lf:
+            return
+        self.kf_ln_p0[kf_id] = np.asarray(line_feat.p0)
+        self.kf_ln_p1[kf_id] = np.asarray(line_feat.p1)
+        self.kf_ln_desc[kf_id] = np.asarray(line_feat.desc)
+        self.kf_ln_valid[kf_id] = np.asarray(line_feat.valid)
+        if ln_assoc is not None:
+            a = np.asarray(ln_assoc, np.int32).copy()
+            a[~self.kf_ln_valid[kf_id]] = -1
+            a[(a >= 0) & ~self.ln_valid[np.clip(a, 0, self.L - 1)]] = -1
+            self.kf_ln_obs[kf_id] = a
+
+    def add_lines(self, starts, ends, descs, kf_id, feat_idx):
+        """Allocate new 3D line landmarks observed by (kf_id, feat_idx)."""
+        n = min(len(starts), len(self._free_lines))
+        ids = np.array([self._free_lines.pop() for _ in range(n)], np.int32)
+        if n == 0:
+            return ids
+        self.ln_valid[ids] = True
+        self.ln_start[ids] = np.asarray(starts, np.float32)[:n]
+        self.ln_end[ids] = np.asarray(ends, np.float32)[:n]
+        self.ln_desc[ids] = np.asarray(descs, np.uint8)[:n]
+        self.ln_first_kf[ids] = kf_id
+        if self.Lf:
+            self.kf_ln_obs[kf_id, np.asarray(feat_idx)[:n]] = ids
+        return ids
+
+    def erase_lines(self, ids):
+        ids = np.atleast_1d(np.asarray(ids, np.int32))
+        live = ids[self.ln_valid[ids]]
+        self.ln_valid[live] = False
+        if self.Lf:
+            for k in np.nonzero(self.kf_valid)[0]:
+                sl = np.isin(self.kf_ln_obs[k], live)
+                self.kf_ln_obs[k][sl] = -1
+        self._free_lines.extend(int(i) for i in live)
 
     # ------------------------------------------------------------------
     # landmarks
