@@ -1,0 +1,350 @@
+"""Loop detection + correction orchestration.
+
+Rebuilds src/LoopClosing.cc (SURVEY.md §2.1 row 4, §3.4): per-keyframe
+BoW candidate detection with 3-consecutive-keyframe covisibility
+consistency, Sim3 computation (batched RANSAC + guided matching),
+CorrectLoop (Sim3 propagation over the covisible group, landmark fuse,
+essential-graph optimization, global BA).  Runs synchronously when the
+host loop calls `process_keyframe` (the reference's thread handoff
+becomes a per-keyframe call; asynchrony is the host's choice).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..backend.local_ba import bundle_adjust
+from ..backend.pose_graph import optimize_pose_graph
+from ..backend.sim3_solver import solve_sim3_ransac
+from ..config import SlamConfig
+from ..geometry.se3 import se3_apply, se3_compose, se3_inverse
+from ..geometry.sim3 import sim3_apply, sim3_compose, sim3_inverse
+from ..matching.point_matcher import match_descriptors
+from ..slam_map.keyframe_db import KeyFrameDatabase
+from ..slam_map.map_store import MapStore
+from .vocabulary import Vocabulary
+
+
+@dataclasses.dataclass
+class LoopEdge:
+    kf_a: int
+    kf_b: int
+    s: float
+    R: np.ndarray
+    t: np.ndarray
+
+
+class LoopCloser:
+    def __init__(self, cfg: SlamConfig, store: MapStore, voc: Vocabulary):
+        self.cfg = cfg
+        self.map = store
+        self.voc = voc
+        self.db = KeyFrameDatabase(voc)
+        self.consistent_groups: list[tuple[set[int], int]] = []
+        self.loop_edges: list[LoopEdge] = []
+        self.last_loop_kf = -1
+        self.covis_cache = None
+
+    # ------------------------------------------------------------------
+    def process_keyframe(self, kf_id: int, run_gba: bool = True) -> bool:
+        """Detect + close a loop ending at kf_id. Returns True if a loop
+        was closed (map was rewritten)."""
+        store = self.map
+        self.db.add(kf_id, store.kf_desc[kf_id], store.kf_feat_valid[kf_id]
+                    & (store.kf_obs_lm[kf_id] >= 0))
+        if store.n_keyframes() < 6 or kf_id - self.last_loop_kf < 10:
+            return False
+
+        cand = self._detect(kf_id)
+        if cand is None:
+            return False
+        ok, sim = self._compute_sim3(kf_id, cand)
+        if not ok:
+            return False
+        self._correct(kf_id, cand, sim, run_gba=run_gba)
+        self.last_loop_kf = kf_id
+        return True
+
+    # ------------------------------------------------------------------
+    def _covisible_set(self, kf_id, min_w=15):
+        W = self.map.covisibility()
+        ids = np.nonzero(W[kf_id] >= min_w)[0]
+        return set(int(i) for i in ids)
+
+    def _detect(self, kf_id):
+        """BoW candidates + consistency over 3 consecutive keyframes."""
+        store = self.map
+        covis = self._covisible_set(kf_id)
+        # minScore: lowest BoW similarity among covisible KFs.
+        min_score = 0.008
+        scores = [
+            self.db.score(kf_id, k) for k in covis if k in self.db.bow
+        ]
+        if scores:
+            min_score = max(min(scores), 0.001)
+        covis_groups = {
+            k: self._covisible_set(k) | {k}
+            for k in self.db.bow
+            if k != kf_id
+        }
+        cands = self.db.detect_loop_candidates(
+            kf_id, min_score, covis | {kf_id}, covis_groups
+        )
+        if not cands:
+            self.consistent_groups = []
+            return None
+
+        # Covisibility-consistency over 3 consecutive KFs
+        # (LoopClosing::DetectLoop's mvConsistentGroups logic).
+        new_groups = []
+        winner = None
+        for c in cands:
+            group = covis_groups.get(c, {c})
+            consistency = 0
+            for prev_group, prev_count in self.consistent_groups:
+                if group & prev_group:
+                    consistency = prev_count + 1
+                    break
+            new_groups.append((group, consistency))
+            if consistency >= 2 and winner is None:
+                winner = c
+        self.consistent_groups = new_groups
+        return winner
+
+    # ------------------------------------------------------------------
+    def _compute_sim3(self, kf_id, cand):
+        """Match landmarks between the two keyframes, RANSAC a Sim3
+        T_{cur<-cand} in camera frames."""
+        store = self.map
+        cur_lm = store.kf_obs_lm[kf_id]
+        cand_lm = store.kf_obs_lm[cand]
+        v_cur = (cur_lm >= 0) & store.kf_feat_valid[kf_id]
+        v_cand = (cand_lm >= 0) & store.kf_feat_valid[cand]
+        m = match_descriptors(
+            jnp.asarray(store.kf_desc[kf_id]), jnp.asarray(v_cur),
+            jnp.asarray(store.kf_desc[cand]), jnp.asarray(v_cand),
+            max_dist=50, ratio=0.75,
+        )
+        mask = np.asarray(m.mask)
+        idx = np.asarray(m.idx)
+        if mask.sum() < 20:
+            return False, None
+
+        rows = np.nonzero(mask)[0]
+        lm1 = cur_lm[rows]
+        lm2 = cand_lm[idx[rows]]
+        ok = (lm1 >= 0) & (lm2 >= 0) & store.pt_valid[lm1] & store.pt_valid[lm2]
+        rows, lm1, lm2 = rows[ok], lm1[ok], lm2[ok]
+        if len(rows) < 20:
+            return False, None
+
+        # 3D points in each camera frame.
+        p_w1 = store.pt_pos[lm1]
+        p_w2 = store.pt_pos[lm2]
+        R1, t1 = store.kf_R[kf_id], store.kf_t[kf_id]
+        R2, t2 = store.kf_R[cand], store.kf_t[cand]
+        p1 = np.asarray(se3_apply(jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(p_w1)))
+        p2 = np.asarray(se3_apply(jnp.asarray(R2), jnp.asarray(t2), jnp.asarray(p_w2)))
+
+        N = 256
+        pts1 = np.zeros((N, 3), np.float32)
+        pts2 = np.zeros((N, 3), np.float32)
+        valid = np.zeros(N, bool)
+        n = min(len(p1), N)
+        pts1[:n] = p1[:n]
+        pts2[:n] = p2[:n]
+        valid[:n] = True
+
+        s, R, t, inl, count = solve_sim3_ransac(
+            jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(valid),
+            jax.random.PRNGKey(kf_id), self.cfg.camera, self.cfg.camera,
+            jnp.ones(N), jnp.ones(N), fix_scale=True, n_hyps=256,
+        )
+        if int(count) < 20:
+            return False, None
+        # T_cur<-cand as Sim3 in camera frames: x_cur = s R x_cand + t
+        return True, (float(s), np.asarray(R), np.asarray(t))
+
+    # ------------------------------------------------------------------
+    def _correct(self, kf_id, cand, sim, run_gba=True):
+        """Propagate the Sim3 correction, fuse, optimize the essential
+        graph, optionally run global BA."""
+        store = self.map
+        s_lc, R_lc, t_lc = sim  # T_cur<-cand (camera frames)
+
+        # Corrected pose of current KF: Tcw_corr = T_cur<-cand * Tcand_w
+        Rc, tc = store.kf_R[cand], store.kf_t[cand]
+        s_corr, R_corr, t_corr = sim3_compose(
+            jnp.asarray(s_lc), jnp.asarray(R_lc), jnp.asarray(t_lc),
+            jnp.asarray(1.0), jnp.asarray(Rc), jnp.asarray(tc),
+        )
+
+        # Correction to apply to current-group world poses: the current
+        # KF moves from its drifted Tcw to the corrected one; propagate
+        # the same world-side correction T_w_corr = Tcw_old^-1 ∘ S_corr
+        # to covisible KFs and their landmarks.
+        R_old, t_old = store.kf_R[kf_id], store.kf_t[kf_id]
+        s_delta, R_delta, t_delta = sim3_compose(
+            *sim3_inverse(jnp.asarray(1.0), jnp.asarray(R_old), jnp.asarray(t_old)),
+            s_corr, R_corr, t_corr,
+        )  # maps old-camera coords... we need world-side: see below
+
+        # world correction: x_w_new = T_old^-1 ∘ S_corr applied in
+        # reverse — transform landmark positions of the current group:
+        # x_cam = T_old x_w ; x_w_new = S_corr^-1 x_cam
+        group = self._covisible_set(kf_id, min_w=10) | {kf_id}
+        s_ci, R_ci, t_ci = sim3_inverse(s_corr, R_corr, t_corr)
+
+        lm_done = set()
+        for k in group:
+            lm = store.kf_obs_lm[k]
+            lm = lm[lm >= 0]
+            for i in lm:
+                if int(i) in lm_done or not store.pt_valid[i]:
+                    continue
+                lm_done.add(int(i))
+                x_cam = se3_apply(
+                    jnp.asarray(R_old), jnp.asarray(t_old),
+                    jnp.asarray(store.pt_pos[i]),
+                )
+                x_new = sim3_apply(s_ci, R_ci, t_ci, x_cam)
+                store.pt_pos[i] = np.asarray(x_new)
+            # pose: Tkw_new = Tk_old ∘ T_old^-1 ∘ S_corr
+            Rk, tk = store.kf_R[k], store.kf_t[k]
+            Roi, toi = se3_inverse(jnp.asarray(R_old), jnp.asarray(t_old))
+            Rrel, trel = se3_compose(jnp.asarray(Rk), jnp.asarray(tk), Roi, toi)
+            sk, Rk2, tk2 = sim3_compose(
+                jnp.asarray(1.0), Rrel, trel, s_corr, R_corr, t_corr
+            )
+            store.kf_R[k] = np.asarray(Rk2)
+            store.kf_t[k] = np.asarray(tk2 / sk)  # renormalize scale into t
+
+        # Record the loop edge (measurement = corrected relative pose).
+        self.loop_edges.append(
+            LoopEdge(kf_id, cand, s_lc, np.asarray(R_lc), np.asarray(t_lc))
+        )
+
+        # --- essential-graph optimization over all valid KFs ---
+        self._optimize_essential_graph(kf_id, cand)
+
+        if run_gba:
+            self.run_global_ba()
+
+    # ------------------------------------------------------------------
+    def _optimize_essential_graph(self, cur_kf, loop_kf):
+        store = self.map
+        Kn = store._next_kf
+        valid = store.kf_valid[:Kn].copy()
+        ids = np.nonzero(valid)[0]
+        if len(ids) < 3:
+            return
+        W = store.covisibility()
+
+        edges_i, edges_j, ew = [], [], []
+        # sequential (spanning-tree analog) edges between consecutive KFs
+        for a, b in zip(ids[:-1], ids[1:]):
+            edges_i.append(a)
+            edges_j.append(b)
+            ew.append(1.0)
+        # strong covisibility edges
+        for a in ids:
+            for b in ids:
+                if b <= a + 1:
+                    continue
+                if W[a, b] >= 100:
+                    edges_i.append(a)
+                    edges_j.append(b)
+                    ew.append(1.0)
+        # loop edges (weighted high)
+        for e in self.loop_edges:
+            edges_i.append(e.kf_b)
+            edges_j.append(e.kf_a)
+            ew.append(5.0)
+
+        E = len(edges_i)
+        es = np.ones(E, np.float32)
+        eR = np.zeros((E, 3, 3), np.float32)
+        et = np.zeros((E, 3), np.float32)
+        n_loop = len(self.loop_edges)
+        for n, (a, b) in enumerate(zip(edges_i, edges_j)):
+            if n >= E - n_loop:
+                le = self.loop_edges[n - (E - n_loop)]
+                eR[n] = le.R
+                et[n] = le.t
+                es[n] = le.s
+                continue
+            Ra, ta = store.kf_R[a], store.kf_t[a]
+            Rb, tb = store.kf_R[b], store.kf_t[b]
+            Rai, tai = se3_inverse(jnp.asarray(Ra), jnp.asarray(ta))
+            Rm, tm = se3_compose(jnp.asarray(Rb), jnp.asarray(tb), Rai, tai)
+            eR[n] = np.asarray(Rm)
+            et[n] = np.asarray(tm)
+
+        Kpad = Kn
+        s0 = np.ones(Kpad, np.float32)
+        fixed = np.zeros(Kpad, bool)
+        fixed[loop_kf] = True
+        fixed[~valid] = True
+        old_R = store.kf_R[:Kpad].copy()
+        old_t = store.kf_t[:Kpad].copy()
+
+        s, R, t = optimize_pose_graph(
+            jnp.asarray(s0), jnp.asarray(store.kf_R[:Kpad]),
+            jnp.asarray(store.kf_t[:Kpad]),
+            jnp.asarray(valid), jnp.asarray(fixed),
+            jnp.asarray(np.array(edges_i, np.int32)),
+            jnp.asarray(np.array(edges_j, np.int32)),
+            jnp.asarray(es), jnp.asarray(eR), jnp.asarray(et),
+            jnp.ones(E, bool), jnp.asarray(np.array(ew, np.float32)),
+            n_iters=20,
+        )
+        s, R, t = np.asarray(s), np.asarray(R), np.asarray(t)
+
+        # Correct landmarks via their reference keyframe's motion
+        # (landmark correction step of CorrectLoop/OptimizeEssentialGraph).
+        counts = store.obs_counts()
+        for i in np.nonzero(store.pt_valid)[0]:
+            k = store.pt_first_kf[i]
+            if k < 0 or k >= Kpad or not valid[k]:
+                continue
+            x_cam = se3_apply(
+                jnp.asarray(old_R[k]), jnp.asarray(old_t[k]),
+                jnp.asarray(store.pt_pos[i]),
+            )
+            Rwi, twi = se3_inverse(jnp.asarray(R[k]), jnp.asarray(t[k] / s[k]))
+            store.pt_pos[i] = np.asarray(se3_apply(Rwi, twi, x_cam))
+
+        store.kf_R[:Kpad] = R
+        store.kf_t[:Kpad] = t / s[:, None]
+
+    # ------------------------------------------------------------------
+    def run_global_ba(self, iters1: int = 5, iters2: int = 10):
+        """Full-map bundle adjustment (GlobalBundleAdjustemnt analog)."""
+        store = self.map
+        Kn = store._next_kf
+        ids = np.nonzero(store.kf_valid[:Kn])[0]
+        if len(ids) < 2:
+            return
+        mc = self.cfg.map
+        pack = store.pack_local_ba(
+            int(ids[-1]),
+            max_cams=min(len(ids) + 4, mc.max_keyframes),
+            max_points=mc.max_points if mc.max_points <= 16384 else 16384,
+            max_obs=min(len(ids) * 512, 65536),
+            all_free=True,
+        )
+        res = bundle_adjust(
+            jnp.asarray(pack["R"]), jnp.asarray(pack["t"]),
+            jnp.asarray(pack["cam_fixed"]),
+            jnp.asarray(pack["points"]), jnp.asarray(pack["point_valid"]),
+            jnp.asarray(pack["obs_cam"]), jnp.asarray(pack["obs_lm"]),
+            jnp.asarray(pack["obs_uvur"]), jnp.asarray(pack["obs_oct"]),
+            jnp.asarray(pack["obs_valid"]), self.cfg.camera,
+            self.cfg.orb.scale_factor, iters1=iters1, iters2=iters2,
+            fix_first=True,
+        )
+        store.apply_ba_result(pack, res)

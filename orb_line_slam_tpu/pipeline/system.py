@@ -1,0 +1,144 @@
+"""System facade — the embedder-facing API.
+
+Rebuilds src/System.cc / include/System.h (SURVEY.md §1 L4): construct
+with settings (+ optional vocabulary), feed frames with
+track_stereo/track_rgbd, control localization mode / reset / shutdown,
+save trajectories in TUM and KITTI formats (including the
+relative-to-refKF replay of §3.5).
+
+Differences by design: the reference spawns LocalMapping/LoopClosing
+threads; here mapping runs inline per keyframe (device programs) and
+loop closing is invoked per keyframe on the host.  A vocabulary may be
+loaded from DBoW2's ORBvoc.txt, passed in, or — unlike the reference —
+trained on the fly from the first keyframe's descriptors.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..config import SlamConfig, load_settings
+from ..eval.trajectory import save_trajectory_kitti, save_trajectory_tum
+from ..loop.loop_closing import LoopCloser
+from ..loop.vocabulary import Vocabulary
+from .tracking import Tracker
+
+
+class System:
+    def __init__(
+        self,
+        settings: SlamConfig | str | Path,
+        vocabulary: Vocabulary | str | Path | None = None,
+        use_loop_closing: bool = True,
+    ):
+        self.cfg = (
+            settings if isinstance(settings, SlamConfig) else load_settings(settings)
+        )
+        self.tracker = Tracker(self.cfg)
+        self.voc: Optional[Vocabulary] = None
+        if isinstance(vocabulary, Vocabulary):
+            self.voc = vocabulary
+        elif vocabulary is not None:
+            self.voc = Vocabulary.parse_orbvoc_txt(vocabulary)
+        self.use_loop_closing = use_loop_closing
+        self.loop_closer: Optional[LoopCloser] = None
+        self.localization_only = False
+        self.n_loops_closed = 0
+        self.tracker.on_keyframe = self._on_keyframe
+
+    # ------------------------------------------------------------------
+    def track_stereo(self, img_left, img_right, timestamp: float = 0.0) -> np.ndarray:
+        """Feed a rectified stereo pair; returns the 4x4 Tcw pose."""
+        return self.tracker.process_stereo(img_left, img_right, timestamp)
+
+    def track_rgbd(self, img, depth, timestamp: float = 0.0) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from ..frontend.frame import build_rgbd_frame
+
+        self.tracker.frame_id += 1
+        frame = build_rgbd_frame(jnp.asarray(img), jnp.asarray(depth), self.cfg)
+        return self.tracker._track(frame, timestamp)
+
+    # ------------------------------------------------------------------
+    def _on_keyframe(self, kf_id: int):
+        if self.localization_only or not self.use_loop_closing:
+            return
+        if self.voc is None:
+            # Train a vocabulary from the first keyframe's descriptors
+            # (the reference ships a 145 MB pre-trained ORBvoc.txt; we
+            # bootstrap one when none is provided).
+            store = self.tracker.map
+            descs = store.kf_desc[kf_id][store.kf_feat_valid[kf_id]]
+            if len(descs) < 200:
+                return
+            self.voc = Vocabulary.train(descs, k=8, depth=3, seed=0)
+        if self.loop_closer is None:
+            self.loop_closer = LoopCloser(self.cfg, self.tracker.map, self.voc)
+            self.tracker.reloc_candidates_fn = self._reloc_candidates
+        closed = self.loop_closer.process_keyframe(kf_id)
+        if closed:
+            self.n_loops_closed += 1
+            # Tracking continues from the corrected keyframe pose.
+            self.tracker.R = self.tracker.map.kf_R[kf_id].copy()
+            self.tracker.t = self.tracker.map.kf_t[kf_id].copy()
+            self.tracker.vel = None
+
+    def _reloc_candidates(self, frame):
+        if self.loop_closer is None:
+            return []
+        return self.loop_closer.db.detect_relocalization_candidates(
+            np.asarray(frame.desc), np.asarray(frame.valid)
+        )
+
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        """Tracking-only: no new keyframes/landmarks (reference's
+        ActivateLocalizationMode)."""
+        self.localization_only = True
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.localization_only = False
+        self.tracker.localization_only = False
+
+    def reset(self):
+        self.tracker = Tracker(self.cfg)
+        self.tracker.on_keyframe = self._on_keyframe
+        self.loop_closer = None
+
+    def shutdown(self):
+        pass  # nothing asynchronous to join in this design
+
+    # ------------------------------------------------------------------
+    def save_trajectory_kitti(self, path):
+        save_trajectory_kitti(path, self.tracker.final_trajectory())
+
+    def save_trajectory_tum(self, path):
+        save_trajectory_tum(path, self.tracker.final_trajectory())
+
+    def save_keyframe_trajectory_tum(self, path):
+        store = self.tracker.map
+        traj = []
+        for k in np.nonzero(store.kf_valid[: store._next_kf])[0]:
+            traj.append(
+                (
+                    int(store.kf_frame_id[k]),
+                    float(store.kf_timestamp[k]),
+                    store.kf_R[k],
+                    store.kf_t[k],
+                    False,
+                )
+            )
+        save_trajectory_tum(path, traj)
+
+    # ------------------------------------------------------------------
+    @property
+    def map(self):
+        return self.tracker.map
+
+    def tracking_state(self) -> str:
+        return self.tracker.state

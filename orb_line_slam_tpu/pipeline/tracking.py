@@ -67,6 +67,9 @@ class Tracker:
         self.recent_lm: list[np.ndarray] = []
         self.trajectory: list[TrajectoryEntry] = []
         self.stats: list[dict] = []
+        self.on_keyframe = None          # callback(kf_id) after insertion
+        self.localization_only = False   # tracking-only mode
+        self.reloc_candidates_fn = None  # BoW relocalization candidates
 
     # ------------------------------------------------------------------
     def process_stereo(self, img_left, img_right, timestamp: float = 0.0):
@@ -278,9 +281,18 @@ class Tracker:
         return True, assoc, n_inl
 
     def _relocalize(self, frame: Frame):
-        """Brute-force relocalization: try recent keyframes' descriptors
-        (KeyFrameDatabase BoW candidates come with the loop module)."""
-        cand = [k for k in range(self.map._next_kf - 1, -1, -1) if self.map.kf_valid[k]][:5]
+        """Relocalization: BoW keyframe-database candidates when the
+        loop module is wired in, else recent keyframes (Tracking::
+        Relocalization's candidate source is KeyFrameDatabase)."""
+        cand = None
+        if self.reloc_candidates_fn is not None:
+            cand = [
+                k for k in self.reloc_candidates_fn(frame) if self.map.kf_valid[k]
+            ][:5]
+        if not cand:
+            cand = [
+                k for k in range(self.map._next_kf - 1, -1, -1) if self.map.kf_valid[k]
+            ][:5]
         for k in cand:
             self.ref_kf = k
             saved_R, saved_t = self.last_R, self.last_t
@@ -401,6 +413,8 @@ class Tracker:
     # ------------------------------------------------------------------
     def _need_keyframe(self, frame: Frame, assoc, n_inliers):
         cfg = self.cfg.tracking
+        if self.localization_only:
+            return False
         if self.map._next_kf >= self.cfg.map.max_keyframes - 2:
             return False
         depth = np.asarray(frame.depth)
@@ -488,6 +502,12 @@ class Tracker:
         # Tracking quality at creation time (floor avoids KF starvation
         # in sparse scenes).
         self.ref_kf_matches = max(int((np.asarray(frame.valid) & (assoc >= 0)).sum()), 40)
+        if self.on_keyframe is not None:
+            self.on_keyframe(kf)
+            # A loop closure may have rewritten keyframe poses; ride
+            # with the (possibly corrected) reference keyframe.
+            self.R = self.map.kf_R[kf].copy()
+            self.t = self.map.kf_t[kf].copy()
 
     def _local_ba(self, center_kf):
         mc = self.cfg.map

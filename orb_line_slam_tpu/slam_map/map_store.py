@@ -320,7 +320,7 @@ class MapStore:
     # dense views for device programs
     # ------------------------------------------------------------------
     def pack_local_ba(self, center_kf: int, max_cams: int, max_points: int,
-                      max_obs: int, min_covis: int = 1):
+                      max_obs: int, min_covis: int = 1, all_free: bool = False):
         """Assemble the local-BA window around center_kf.
 
         Free cameras: center + best covisible KFs (up to local_window).
@@ -329,13 +329,19 @@ class MapStore:
         plus index maps for write-back.
         """
         cfg = self.cfg
-        W = self.covisibility()
-        w = W[center_kf].copy()
-        w[~self.kf_valid[: len(w)]] = 0
-        order = np.argsort(-w)
-        window = [center_kf] + [
-            int(k) for k in order if w[k] >= min_covis and k != center_kf
-        ][: cfg.local_window - 1]
+        if all_free:
+            # Global BA: every valid keyframe is a free vertex.
+            window = [int(k) for k in np.nonzero(self.kf_valid[: self._next_kf])[0]][
+                :max_cams
+            ]
+        else:
+            W = self.covisibility()
+            w = W[center_kf].copy()
+            w[~self.kf_valid[: len(w)]] = 0
+            order = np.argsort(-w)
+            window = [center_kf] + [
+                int(k) for k in order if w[k] >= min_covis and k != center_kf
+            ][: cfg.local_window - 1]
 
         # Landmarks seen from the window.
         lm_set = np.unique(

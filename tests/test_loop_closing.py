@@ -1,0 +1,116 @@
+"""LoopCloser integration on a synthetic drifted map: revisiting a place
+must be detected via BoW + consistency, Sim3-corrected, and the
+essential graph must pull the drifted tail back."""
+
+import numpy as np
+import pytest
+
+from orb_line_slam_tpu.config import MapConfig, OrbConfig, SlamConfig
+from orb_line_slam_tpu.geometry.camera import CameraIntrinsics
+from orb_line_slam_tpu.loop.loop_closing import LoopCloser
+from orb_line_slam_tpu.loop.vocabulary import Vocabulary
+from orb_line_slam_tpu.slam_map.map_store import MapStore
+
+CAM = CameraIntrinsics(
+    fx=400.0, fy=400.0, cx=320.0, cy=160.0, bf=160.0, width=640, height=320
+)
+RNG = np.random.default_rng(33)
+F = 256  # features per KF
+
+
+def fake_frame_arrays(descs, pts_cam):
+    """Project camera-frame points to make plausible kf feature slots."""
+    u = CAM.fx * pts_cam[:, 0] / pts_cam[:, 2] + CAM.cx
+    v = CAM.fy * pts_cam[:, 1] / pts_cam[:, 2] + CAM.cy
+    return u, v
+
+
+class _F:
+    """Duck-typed Frame for MapStore.add_keyframe."""
+
+    def __init__(self, descs, pts_cam):
+        n = len(descs)
+        u, va = fake_frame_arrays(descs, pts_cam)
+        self.xy = np.stack([u, va], -1).astype(np.float32)
+        self.u_right = (u - CAM.bf / pts_cam[:, 2]).astype(np.float32)
+        self.depth = pts_cam[:, 2].astype(np.float32)
+        self.octave = np.zeros(n, np.int32)
+        self.angle = np.zeros(n, np.float32)
+        self.desc = descs
+        self.valid = np.ones(n, bool)
+
+
+def build_drifted_map():
+    cfg = SlamConfig(
+        camera=CAM,
+        orb=OrbConfig(n_features=F, n_levels=4),
+        map=MapConfig(max_keyframes=32, max_points=8192, max_lines=64,
+                      local_window=6, local_points=2048),
+    )
+    store = MapStore(cfg.map, F)
+
+    n_kf = 12
+    drift = np.array([1.5, 0.4, 0.8], np.float32)  # accumulated at return
+    n_own = 156  # own landmarks per KF; remaining slots reobserve the
+    n_shared = F - n_own  # previous KF's landmarks (creates covisibility)
+
+    # Place descriptors: reused by the return keyframes (same views).
+    place_desc = {k: RNG.integers(0, 256, (F, 32), dtype=np.uint8) for k in range(9)}
+    pts_cam = np.stack(
+        [RNG.uniform(-4, 4, F), RNG.uniform(-2, 2, F), RNG.uniform(5, 25, F)], -1
+    ).astype(np.float32)
+
+    true_t = []
+    prev_ids = None
+    prev_place = None
+    for k in range(n_kf):
+        place = k if k < 9 else 11 - k
+        t_true = np.array([0.0, 0.0, 1.0 * place], np.float32)
+        true_t.append(t_true)
+        # estimated pose: drifted for the return keyframes
+        frac = max(0, (k - 6) / (n_kf - 7))
+        t_est = t_true + drift * frac
+        R = np.eye(3, dtype=np.float32)
+
+        descs = place_desc[place].copy()
+        if prev_place is not None:
+            descs[n_own:] = place_desc[prev_place][:n_shared]
+        frame = _F(descs, pts_cam)
+        kf = store.add_keyframe(frame, R, t_est, frame_id=k, timestamp=k * 0.1)
+        # own landmarks from the DRIFTED pose (self-consistent map)
+        pts_w = pts_cam[:n_own] - t_est
+        ids = store.add_points(
+            pts_w, descs[:n_own], np.zeros(n_own, np.int32), kf, np.arange(n_own)
+        )
+        # shared observations of the previous KF's landmarks
+        if prev_ids is not None:
+            store.kf_obs_lm[kf, n_own:] = prev_ids[:n_shared]
+        prev_ids = ids
+        prev_place = place
+
+    return cfg, store, np.stack(true_t), drift
+
+
+@pytest.mark.slow
+def test_loop_detection_and_correction():
+    cfg, store, true_t, drift = build_drifted_map()
+    # Vocabulary trained on all map descriptors.
+    voc = Vocabulary.train(
+        store.kf_desc[store.kf_valid].reshape(-1, 32)[:8000], k=8, depth=3
+    )
+    lc = LoopCloser(cfg, store, voc)
+
+    closed_at = None
+    for k in range(store._next_kf):
+        if lc.process_keyframe(k, run_gba=False):
+            closed_at = k
+    assert closed_at is not None, "loop never closed"
+    assert closed_at >= 10
+
+    # After correction the drifted return keyframes must be near their
+    # true positions (they had up to |drift| = 1.8 m of error).
+    err_after = np.linalg.norm(store.kf_t[closed_at] - true_t[closed_at])
+    assert err_after < 0.4, f"loop KF error after correction {err_after:.2f} m"
+    # Mid-trajectory keyframes must have been pulled back too.
+    err_mid = np.linalg.norm(store.kf_t[8] - true_t[8])
+    assert err_mid < 0.8, f"mid-chain error {err_mid:.2f} m"
