@@ -147,7 +147,9 @@ def _check_rt(R, t, K, p1, p2, inl, sigma2):
         & (e1 < 4.0 * sigma2) & (e2 < 4.0 * sigma2)
         & (cosp < 0.99998)
     )
-    return jnp.sum(good), pts, good
+    med_cos = jnp.nanmedian(jnp.where(good, cosp, jnp.nan))
+    med_cos = jnp.where(jnp.isnan(med_cos), 1.0, med_cos)
+    return jnp.sum(good), pts, good, med_cos
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "n_hyps"))
@@ -251,13 +253,15 @@ def initialize_two_view(
     n_second = jnp.sort(goods)[-2]
     pts = jnp.stack([r[1] for r in results])[best]
     mask = jnp.stack([r[2] for r in results])[best]
+    med_cos = jnp.stack([r[3] for r in results])[best]
     R_best = jnp.stack([c[0] for c in cands])[best]
     t_best = jnp.stack([c[1] for c in cands])[best]
     t_best = t_best / (jnp.linalg.norm(t_best) + 1e-12)
 
-    # Accept if the winner clearly dominates and has enough support
-    # (Initializer's nGood > 0.9*nsimilar and minTriangulated checks).
-    success = (n_best > 30) & (n_second < 0.75 * n_best)
+    # Accept if the winner clearly dominates, has enough support AND
+    # enough parallax (the reference's CheckRT parallax>1deg rule —
+    # without it a near-zero baseline initializes a garbage map).
+    success = (n_best > 30) & (n_second < 0.75 * n_best) & (med_cos < 0.99985)
     return InitResult(
         success=success,
         R=R_best,

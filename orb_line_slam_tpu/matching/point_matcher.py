@@ -185,3 +185,26 @@ def resolve_duplicates(matches: Matches, n_targets: int) -> Matches:
     )
     keep = keep & (first[tgt] == order)
     return Matches(jnp.where(keep, matches.idx, -1), matches.dist, keep)
+
+
+def match_in_window(
+    frame_a,
+    frame_b,
+    radius: float = 100.0,
+    max_dist: int = TH_LOW,
+    ratio: float = 0.9,
+) -> Matches:
+    """Frame-to-frame matching windowed around each keypoint's own
+    location (SearchForInitialization: the spatial window keeps the
+    ratio test from drowning in far-away confusers)."""
+    dist = hamming_matrix(frame_a.desc, frame_b.desc)
+    du = frame_a.xy[:, 0:1] - frame_b.xy[None, :, 0]
+    dv = frame_a.xy[:, 1:2] - frame_b.xy[None, :, 1]
+    close = (du * du + dv * dv) <= radius * radius
+    idx, d1, d2 = knn2(dist, close & frame_b.valid[None, :])
+    ok = (
+        frame_a.valid
+        & (d1 < max_dist)
+        & (d1.astype(jnp.float32) < ratio * d2.astype(jnp.float32))
+    )
+    return Matches(jnp.where(ok, idx, -1), d1, ok)

@@ -88,6 +88,87 @@ class Tracker:
         self.frame_id += 1
         return self._track(frame, timestamp)
 
+    def process_mono(self, img, timestamp: float = 0.0):
+        """Track a monocular frame (TrackMonocular analog); the map is
+        bootstrapped with the two-view initializer (scale-free)."""
+        from ..frontend.frame import build_mono_frame
+
+        self.frame_id += 1
+        frame = build_mono_frame(jnp.asarray(img), self.cfg)
+        if self.state == "NOT_INITIALIZED":
+            self._try_mono_initialize(frame, timestamp)
+            self._record(timestamp, lost=(self.state != "OK"))
+            return self.current_pose()
+        return self._track(frame, timestamp)
+
+    def _try_mono_initialize(self, frame: Frame, timestamp):
+        import jax
+
+        from ..frontend.initializer import initialize_two_view
+
+        if getattr(self, "_init_ref", None) is None:
+            if int(np.asarray(frame.valid).sum()) >= 100:
+                self._init_ref = (frame, timestamp, self.frame_id)
+            return
+        ref, ref_ts, ref_id = self._init_ref
+        from ..matching.point_matcher import match_in_window
+
+        m = match_in_window(ref, frame, radius=100.0, max_dist=50, ratio=0.9)
+        mask = np.asarray(m.mask)
+        if mask.sum() < 100:
+            self._init_ref = (frame, timestamp, self.frame_id)  # reset ref
+            return
+        idx = np.asarray(m.idx)
+        p1 = np.asarray(ref.xy)
+        p2 = np.asarray(frame.xy)[np.where(idx >= 0, idx, 0)]
+        res = initialize_two_view(
+            jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(mask),
+            jax.random.PRNGKey(self.frame_id), self.cfg.camera,
+        )
+        if not bool(res.success):
+            return
+        inl = np.asarray(res.inliers)
+        pts = np.asarray(res.points3d)
+        # Normalize scale: median depth -> 1 (the reference's
+        # CreateInitialMapMonocular inverse-median-depth scaling).
+        med = np.median(pts[inl, 2])
+        if med <= 0:
+            return
+        pts = pts / med
+        R2 = np.asarray(res.R)
+        t2 = np.asarray(res.t) / med
+
+        kf0 = self.map.add_keyframe(
+            ref, np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+            ref_id, ref_ts,
+        )
+        kf1 = self.map.add_keyframe(frame, R2, t2, self.frame_id, timestamp)
+        rows = np.nonzero(inl)[0]
+        ids = self.map.add_points(
+            pts[rows], np.asarray(ref.desc)[rows],
+            np.asarray(ref.octave)[rows], kf0, rows,
+        )
+        self.map.kf_obs_lm[kf1, idx[rows[: len(ids)]]] = ids
+        self.map.update_point_stats(ids)
+        self.recent_lm.append(ids)
+
+        self.R, self.t = R2.astype(np.float32), t2.astype(np.float32)
+        self.ref_kf = kf1
+        self.ref_kf_matches = max(len(ids), 40)
+        self.state = "OK"
+        self.last_frame = frame
+        assoc = np.full(frame.n, -1, np.int32)
+        assoc[idx[rows[: len(ids)]]] = ids
+        self.last_assoc = assoc
+        self.last_R = self.R.copy()
+        self.last_t = self.t.copy()
+        self.vel = None
+        self.frames_since_kf = 0
+        self._local_ba(kf1)
+        if self.on_keyframe is not None:
+            self.on_keyframe(kf0)
+            self.on_keyframe(kf1)
+
     # ------------------------------------------------------------------
     def _track(self, frame: Frame, timestamp: float):
         cfg = self.cfg
@@ -260,10 +341,17 @@ class Tracker:
         k = self.ref_kf
         kf_lm = self.map.kf_obs_lm[k]
         has_lm = (kf_lm >= 0) & self.map.pt_valid[np.clip(kf_lm, 0, self.map.P - 1)]
+        # Spatial window (the BoW node pruning analog): cuts confusers so
+        # the ratio test keeps far more true matches.
+        kf_xy = self.map.kf_xy[k]
+        fxy = np.asarray(frame.xy)
+        du = fxy[:, 0:1] - kf_xy[None, :, 0]
+        dv = fxy[:, 1:2] - kf_xy[None, :, 1]
+        window = jnp.asarray((du * du + dv * dv) < 150.0**2)
         m = match_descriptors(
             frame.desc, frame.valid,
             jnp.asarray(self.map.kf_desc[k]), jnp.asarray(has_lm),
-            max_dist=50, ratio=0.7,
+            max_dist=50, ratio=0.75, extra_mask=window,
         )
         keep = rotation_consistency(
             frame.angle, jnp.asarray(self.map.kf_angle[k])[m.idx], np.asarray(m.mask)
@@ -423,14 +511,17 @@ class Tracker:
         tracked_close = int((close & (assoc >= 0)).sum())
         untracked_close = int((close & (assoc < 0)).sum())
         need_close = tracked_close < 100 and untracked_close > 70
-        ref_ratio = 0.75
+        is_mono = not bool((np.asarray(frame.depth) > 0).any())
+        # Mono inserts more eagerly (reference: thRefRatio 0.9 mono,
+        # 0.75 stereo) since landmarks only come from triangulation.
+        ref_ratio = 0.9 if is_mono else 0.75
         c1 = self.frames_since_kf >= cfg.max_frames_between_kf
         # ref_kf_matches is the inlier count when the reference KF was
-        # created: insert when tracking quality decays below 75% of it
+        # created: insert when tracking quality decays below the ratio
         # (the reference compares against the ref KF's tracked map
         # points) or close points starve.
         c2 = n_inliers < self.ref_kf_matches * ref_ratio or need_close
-        c_min = self.frames_since_kf >= 2 or need_close
+        c_min = self.frames_since_kf >= (1 if is_mono else 2) or need_close
         return (c1 or (c2 and c_min)) and n_inliers > 15
 
     def _create_keyframe(self, frame: Frame, assoc, timestamp):
@@ -495,8 +586,22 @@ class Tracker:
         if len(self.recent_lm) > 3:
             old = self.recent_lm.pop(0)
             self.map.cull_points(kf, old)
+        # Multi-view triangulation of additional landmarks
+        # (CreateNewMapPoints) — essential for mono, fills in far points
+        # for stereo.
+        if self.map.n_keyframes() >= 2:
+            from ..slam_map.triangulation import create_new_map_points
+
+            tri_ids = create_new_map_points(
+                self.map, kf, cfg.camera, cfg.orb.scale_factor
+            )
+            if len(tri_ids):
+                self.recent_lm.append(tri_ids)
         if self.map.n_keyframes() >= 3:
             self._local_ba(kf)
+            # Redundant-keyframe culling over the local window.
+            win, _ = self.map.covisible_keyframes(kf, min_weight=1, max_n=8)
+            self.map.cull_keyframes([k for k in win if k != kf])
 
         self.ref_kf = kf
         # Tracking quality at creation time (floor avoids KF starvation
