@@ -43,19 +43,26 @@ def main():
     ]
 
     # NOTE: through the axon PJRT tunnel block_until_ready can return
-    # before execution finishes; a scalar reduction fetch is the only
-    # honest completion barrier.
-    def step(l, r):
+    # before execution finishes; a scalar fetch is the only honest
+    # completion barrier.  Frames are chained through a checksum carry
+    # and fetched ONCE, so the measurement is amortized device
+    # throughput, not per-frame tunnel round-trips.
+    import jax
+
+    @jax.jit
+    def step(carry, l, r):
         out = build_stereo_frame(l, r, cfg)
-        return float(jnp.sum(out.depth) + jnp.sum(out.response))
+        return carry + jnp.sum(out.depth) + jnp.sum(out.response)
 
-    step(*imgs[0])  # warmup/compile
-    step(*imgs[1])
+    acc = step(jnp.float32(0), *imgs[0])  # warmup/compile
+    float(acc)
 
-    n_iters = 10
+    n_iters = 20
     t0 = time.perf_counter()
+    acc = jnp.float32(0)
     for i in range(n_iters):
-        step(*imgs[i % len(imgs)])
+        acc = step(acc, *imgs[i % len(imgs)])
+    float(acc)  # single completion barrier
     dt = time.perf_counter() - t0
     fps = n_iters / dt
 

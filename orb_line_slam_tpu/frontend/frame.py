@@ -54,15 +54,11 @@ def build_stereo_frame(
     One jitted program per image geometry; both extractions and the
     stereo search compile into a single XLA computation.
     """
-    featL = extract_orb(img_left, cfg.orb)
-    featR = extract_orb(img_right, cfg.orb)
+    from .orb_extractor import extract_orb_with_tiles
 
-    pyrL = build_pyramid(img_left.astype(jnp.float32), cfg.orb.n_levels, cfg.orb.scale_factor)
-    pyrR = build_pyramid(img_right.astype(jnp.float32), cfg.orb.n_levels, cfg.orb.scale_factor)
-    atlasL, offs = pyramid_atlas(pyrL)
-    atlasR, _ = pyramid_atlas(pyrR)
-
-    sm = stereo_match(featL, featR, atlasL, atlasR, offs, cfg.camera, cfg.orb)
+    featL, tilesL = extract_orb_with_tiles(img_left, cfg.orb)
+    featR, tilesR = extract_orb_with_tiles(img_right, cfg.orb)
+    sm = stereo_match(featL, featR, tilesL, tilesR, cfg.camera, cfg.orb)
 
     xy_und = undistort_points(cfg.camera, featL.xy)
     return Frame(

@@ -22,9 +22,13 @@ import jax
 import jax.numpy as jnp
 
 from ..config import OrbConfig
-from ..ops.brief import HALF_PATCH, brief_descriptors, gather_patches, ic_angle
+from ..ops.brief import (
+    brief_descriptors_from_tiles,
+    ic_angle_from_tiles,
+)
 from ..ops.fast import fast_score_map, nms3x3
 from ..ops.image import build_pyramid, gaussian_blur, pyramid_shapes
+from ..ops.pallas_patches import gather_patch_tiles
 from ..ops.topk_grid import select_topk_grid
 
 
@@ -43,8 +47,8 @@ class FrameFeatures(NamedTuple):
         return self.xy.shape[0]
 
 
-def _extract_level(img, quota, cfg: OrbConfig):
-    """Extract up to `quota` oriented+described keypoints on one level."""
+def _detect_level(img, quota, cfg: OrbConfig):
+    """FAST + NMS + grid top-K on one level (no description yet)."""
     score = nms3x3(fast_score_map(img))
     h, w = img.shape
     m = cfg.edge_margin
@@ -55,15 +59,72 @@ def _extract_level(img, quota, cfg: OrbConfig):
 
     n_cells = max(1, (h // cfg.cell_size) * (w // cfg.cell_size))
     k_per_cell = max(1, min(16, (3 * quota) // n_cells + 1))
-    xy, resp, valid = select_topk_grid(
-        score, cfg.cell_size, k_per_cell, quota, cfg.min_th_fast
-    )
+    return select_topk_grid(score, cfg.cell_size, k_per_cell, quota, cfg.min_th_fast)
 
-    patches = gather_patches(img, xy, HALF_PATCH)
-    angles = ic_angle(patches)
-    blurred = gaussian_blur(img, sigma=2.0, radius=3)
-    desc = brief_descriptors(blurred, xy, angles)
-    return xy, resp, angles, desc, valid
+
+def blur_tiles(tiles: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.ndarray:
+    """Separable Gaussian blur applied to the patch tiles themselves
+    (instead of the whole level): BRIEF samples live within +-13 px of
+    the center, so only the outermost ring differs from a full-image
+    blur — and identically so on every frame, which is what matching
+    needs."""
+    from ..ops.image import gaussian_kernel1d
+
+    k = gaussian_kernel1d(sigma, radius)
+    x = tiles[:, None, :, :]
+    kh = k.reshape(1, 1, 1, -1)
+    kv = k.reshape(1, 1, -1, 1)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kv, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn
+    )
+    return x[:, 0]
+
+
+def extract_orb_with_tiles(image: jnp.ndarray, cfg: OrbConfig):
+    """Full multi-level ORB extraction; also returns the raw patch
+    tiles ([N, 32, 32], keypoint at (15,15) in the keypoint's own
+    pyramid level) so the stereo matcher can reuse them for SAD.
+
+    Detection runs per pyramid level; description is batched over ALL
+    levels through a vertically-stacked pyramid atlas, so the patch DMA
+    and the BRIEF one-hot matmuls launch once per image regardless of
+    n_levels.
+    """
+    from ..ops.image import pyramid_atlas
+
+    img = image.astype(jnp.float32)
+    levels = build_pyramid(img, cfg.n_levels, cfg.scale_factor)
+    atlas_raw, offs = pyramid_atlas(levels)
+    quotas = cfg.level_quotas
+    scales = cfg.level_scales
+
+    all_xy, all_axy, all_resp, all_oct, all_valid = [], [], [], [], []
+    for lvl in range(cfg.n_levels):
+        xy, resp, valid = _detect_level(levels[lvl], quotas[lvl], cfg)
+        all_xy.append(xy.astype(jnp.float32) * scales[lvl])
+        all_axy.append(xy + jnp.array([[0, 1]], jnp.int32) * offs[lvl])
+        all_resp.append(resp)
+        all_oct.append(jnp.full((quotas[lvl],), lvl, dtype=jnp.int32))
+        all_valid.append(valid)
+
+    axy = jnp.concatenate(all_axy, axis=0)  # atlas coords, int32
+    tiles = gather_patch_tiles(atlas_raw, axy)
+    angles = ic_angle_from_tiles(tiles)
+    desc = brief_descriptors_from_tiles(blur_tiles(tiles), angles)
+
+    feat = FrameFeatures(
+        xy=jnp.concatenate(all_xy, axis=0),
+        response=jnp.concatenate(all_resp, axis=0),
+        angle=angles,
+        octave=jnp.concatenate(all_oct, axis=0),
+        desc=desc,
+        valid=jnp.concatenate(all_valid, axis=0),
+    )
+    return feat, tiles
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -77,26 +138,5 @@ def extract_orb(image: jnp.ndarray, cfg: OrbConfig) -> FrameFeatures:
     Returns:
       FrameFeatures with N = cfg.n_features rows (padded, masked).
     """
-    img = image.astype(jnp.float32)
-    levels = build_pyramid(img, cfg.n_levels, cfg.scale_factor)
-    quotas = cfg.level_quotas
-    scales = cfg.level_scales
-
-    all_xy, all_resp, all_angle, all_oct, all_desc, all_valid = [], [], [], [], [], []
-    for lvl in range(cfg.n_levels):
-        xy, resp, ang, desc, valid = _extract_level(levels[lvl], quotas[lvl], cfg)
-        all_xy.append(xy.astype(jnp.float32) * scales[lvl])
-        all_resp.append(resp)
-        all_angle.append(ang)
-        all_oct.append(jnp.full((quotas[lvl],), lvl, dtype=jnp.int32))
-        all_desc.append(desc)
-        all_valid.append(valid)
-
-    return FrameFeatures(
-        xy=jnp.concatenate(all_xy, axis=0),
-        response=jnp.concatenate(all_resp, axis=0),
-        angle=jnp.concatenate(all_angle, axis=0),
-        octave=jnp.concatenate(all_oct, axis=0),
-        desc=jnp.concatenate(all_desc, axis=0),
-        valid=jnp.concatenate(all_valid, axis=0),
-    )
+    feat, _ = extract_orb_with_tiles(image, cfg)
+    return feat

@@ -41,26 +41,51 @@ class StereoMatch(NamedTuple):
 
 
 def _gather_window(atlas, cx, cy, half_w, extra=0):
-    """Gather [N, 2h+1, 2h+1+2*extra] windows at float centers via
-    bilinear sampling from the pyramid atlas."""
-    dy = jnp.arange(-half_w, half_w + 1, dtype=jnp.float32)
-    dx = jnp.arange(-half_w - extra, half_w + extra + 1, dtype=jnp.float32)
-    n = cx.shape[0]
-    shape = (n, dy.shape[0], dx.shape[0])
-    xs = jnp.broadcast_to(cx[:, None, None] + dx[None, None, :], shape)
-    ys = jnp.broadcast_to(cy[:, None, None] + dy[None, :, None], shape)
-    return bilinear_sample(atlas, jnp.stack([xs, ys], axis=-1))
+    """Gather [N, 2h+1, 2h+1+2*extra] windows at float centers.
+
+    Fast path: one Pallas DMA tile (32x32, integer-aligned) per
+    keypoint, then a 4-term bilinear blend of shifted tile views (pure
+    VPU) — replaces the 1M-element scalar gather of bilinear_sample.
+    The tile center convention (keypoint at (15, 15)) caps the window at
+    half_w + extra <= 10, which covers the 11x21 SAD strip.
+    """
+    from ..ops.pallas_patches import gather_patch_tiles
+
+    assert half_w + extra <= 10
+    xi = jnp.floor(cx)
+    yi = jnp.floor(cy)
+    fx = (cx - xi)[:, None, None]
+    fy = (cy - yi)[:, None, None]
+    xy = jnp.stack([xi, yi], axis=-1).astype(jnp.int32)
+    t = gather_patch_tiles(atlas, xy)  # [N, 32, 32], center (15, 15)
+    blend = (
+        (1 - fy) * (1 - fx) * t[:, :-1, :-1]
+        + (1 - fy) * fx * t[:, :-1, 1:]
+        + fy * (1 - fx) * t[:, 1:, :-1]
+        + fy * fx * t[:, 1:, 1:]
+    )  # [N, 31, 31], center (15, 15)
+    r0 = 15 - half_w
+    c0 = 15 - half_w - extra
+    return blend[:, r0 : r0 + 2 * half_w + 1, c0 : c0 + 2 * (half_w + extra) + 1]
 
 
 def stereo_match(
     featL,
     featR,
-    atlasL: jnp.ndarray,
-    atlasR: jnp.ndarray,
-    level_offsets: jnp.ndarray,
+    tilesL: jnp.ndarray,
+    tilesR: jnp.ndarray,
     cam: CameraIntrinsics,
     orb_cfg: OrbConfig,
 ) -> StereoMatch:
+    """Stereo association reusing the extraction patch tiles.
+
+    tilesL/tilesR: [N, 32, 32] raw-image tiles at each keypoint's own
+    pyramid level, keypoint at tile index (15, 15) — produced by
+    extract_orb_with_tiles.  The SAD windows are pure static slices of
+    these tiles (the matched right keypoint differs from the left one
+    by <= 2 rows at level scale, handled by a 5-way row select), so the
+    refinement adds NO gather/DMA traffic at all.
+    """
     scales = jnp.asarray(orb_cfg.level_scales, dtype=jnp.float32)
     uL, vL = featL.xy[:, 0], featL.xy[:, 1]
     uR, vR = featR.xy[:, 0], featR.xy[:, 1]
@@ -72,7 +97,10 @@ def stereo_match(
     dist = hamming_matrix(featL.desc, featR.desc)
     band = 2.0 * scales[octR]
     row_ok = jnp.abs(vL[:, None] - vR[None, :]) <= band[None, :]
-    oct_ok = jnp.abs(octL[:, None] - octR[None, :]) <= 1
+    # Same octave required so the SAD tiles share one pyramid scale
+    # (the reference tolerates +-1 but then re-samples at the left
+    # level; with tile reuse equal octaves keep the math exact).
+    oct_ok = octL[:, None] == octR[None, :]
     disp = uL[:, None] - uR[None, :]
     disp_ok = (disp > min_disp) & (disp < max_disp)
     valid = row_ok & oct_ok & disp_ok & featR.valid[None, :] & featL.valid[:, None]
@@ -80,18 +108,30 @@ def stereo_match(
     best_idx, best_d, _ = knn2(dist, valid)
     matched = best_d < TH_STEREO
 
-    # --- SAD sub-pixel refinement at the left keypoint's own level ---
+    # --- SAD sub-pixel refinement at the keypoints' shared level ---
     sc = scales[octL]
-    off = level_offsets[octL].astype(jnp.float32)
-    xl = uL / sc
-    yl = vL / sc + off
+    xl = uL / sc                 # integer level coords of the left kp
     uR0 = uR[best_idx]
-    xr = uR0 / sc
-    yr = vL / sc + off  # rectified: same row
+    xr = uR0 / sc                # same octave -> same scale
+    # Row offset between left and matched right keypoint rows at level
+    # scale (|dv| <= ~2 by the band gate).
+    dv = jnp.round((vL - vR[best_idx]) / sc).astype(jnp.int32)
+    dv = jnp.clip(dv, -2, 2)
 
-    patchL = _gather_window(atlasL, xl, yl, SAD_W)                  # [N, 11, 11]
-    stripR = _gather_window(atlasR, xr, yr, SAD_W, extra=SAD_SLIDE)  # [N, 11, 21]
+    c = 15  # tile center index
+    patchL = tilesL[:, c - SAD_W : c + SAD_W + 1, c - SAD_W : c + SAD_W + 1]
     patchL = patchL - patchL[:, SAD_W : SAD_W + 1, SAD_W : SAD_W + 1]
+
+    tR = tilesR[best_idx]  # [N, 32, 32]
+    # 5-way select over the row offset: strip rows c+dv-5 .. c+dv+5.
+    stripR = jnp.zeros(
+        (tR.shape[0], 2 * SAD_W + 1, 2 * (SAD_W + SAD_SLIDE) + 1), tR.dtype
+    )
+    for d in range(-2, 3):
+        r0 = c + d - SAD_W
+        c0 = c - SAD_W - SAD_SLIDE
+        sl = tR[:, r0 : r0 + 2 * SAD_W + 1, c0 : c0 + 2 * (SAD_W + SAD_SLIDE) + 1]
+        stripR = stripR + jnp.where((dv == d)[:, None, None], sl, 0.0)
 
     n_off = 2 * SAD_SLIDE + 1
     sads = []

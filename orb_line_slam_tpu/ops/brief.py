@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import functools
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -102,3 +104,87 @@ def brief_descriptors(
     i2 = nearest_sample(img_blur, p2)
     bits = (i1 < i2).astype(jnp.uint8)
     return pack_bits(bits)
+
+
+# ---------------------------------------------------------------------------
+# Tile-based fast path (Pallas DMA tiles + MXU one-hot sampling).
+#
+# The keypoint sits at tile index (15, 15) of a 32x32 tile
+# (ops/pallas_patches.py).  BRIEF sampling becomes, per 12-degree
+# quantized angle bin (OpenCV ORB quantizes to 30 bins too), one
+# [N, 1024] x [1024, 512] one-hot matmul — MXU work instead of the
+# 1M-element gather that dominates the XLA lowering.
+# ---------------------------------------------------------------------------
+
+N_ANGLE_BINS = 30
+TILE = 32
+TILE_C = 15  # keypoint index within the tile
+
+
+@functools.lru_cache()
+def _rotated_flat_indices() -> np.ndarray:
+    """int32 [N_ANGLE_BINS, 512] flat tile indices of the rotated test
+    points (256 pairs -> p1 points then p2 points)."""
+    pat = brief_pattern()  # [256, 4]
+    out = np.zeros((N_ANGLE_BINS, 512), np.int32)
+    for b in range(N_ANGLE_BINS):
+        th = 2.0 * np.pi * b / N_ANGLE_BINS
+        c, s = np.cos(th), np.sin(th)
+        for half, (px, py) in enumerate(((pat[:, 0], pat[:, 1]), (pat[:, 2], pat[:, 3]))):
+            rx = np.round(c * px - s * py).astype(np.int64)
+            ry = np.round(s * px + c * py).astype(np.int64)
+            row = np.clip(TILE_C + ry, 0, TILE - 1)
+            col = np.clip(TILE_C + rx, 0, TILE - 1)
+            out[b, half * 256 : (half + 1) * 256] = row * TILE + col
+    return out
+
+
+@functools.lru_cache()
+def _onehot_tables():
+    """bfloat16 [N_ANGLE_BINS, 1024, 512] one-hot sampling matrices."""
+    idx = _rotated_flat_indices()
+    tables = np.zeros((N_ANGLE_BINS, TILE * TILE, 512), np.float32)
+    for b in range(N_ANGLE_BINS):
+        tables[b, idx[b], np.arange(512)] = 1.0
+    return tables
+
+
+def quantize_angle(angles: jnp.ndarray) -> jnp.ndarray:
+    b = jnp.round(angles / (2.0 * jnp.pi / N_ANGLE_BINS)).astype(jnp.int32)
+    return jnp.mod(b, N_ANGLE_BINS)
+
+
+def ic_angle_from_tiles(tiles: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid angle from [N, 32, 32] tiles (center (15,15)):
+    two 1024-dot products — MXU/VPU friendly."""
+    mask = jnp.asarray(circular_mask())  # [31, 31]
+    d = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=jnp.float32)
+    wu = (mask * d[None, :]).reshape(-1)  # weight for m10
+    wv = (mask * d[:, None]).reshape(-1)  # weight for m01
+    flat = tiles[:, :31, :31].reshape(tiles.shape[0], -1)
+    m10 = flat @ wu
+    m01 = flat @ wv
+    return jnp.arctan2(m01, m10)
+
+
+def brief_descriptors_from_tiles(
+    tiles_blur: jnp.ndarray, angles: jnp.ndarray
+) -> jnp.ndarray:
+    """Rotated BRIEF-256 from blurred-image tiles [N, 32, 32]."""
+    n = tiles_blur.shape[0]
+    bins = quantize_angle(angles)
+    if jax.default_backend() == "tpu":
+        tables = jnp.asarray(_onehot_tables(), jnp.bfloat16)
+        flat = tiles_blur.reshape(n, -1).astype(jnp.bfloat16)
+        vals = jnp.zeros((n, 512), jnp.float32)
+        for b in range(N_ANGLE_BINS):
+            vb = jnp.dot(flat, tables[b], preferred_element_type=jnp.float32)
+            vals = vals + jnp.where((bins == b)[:, None], vb, 0.0)
+    else:
+        # CPU tests: identical math via per-keypoint index gather.
+        idx = jnp.asarray(_rotated_flat_indices())[bins]  # [N, 512]
+        flat = tiles_blur.reshape(n, -1)
+        vals = jnp.take_along_axis(flat, idx, axis=1)
+    i1 = vals[:, :256]
+    i2 = vals[:, 256:]
+    return pack_bits((i1 < i2).astype(jnp.uint8))
