@@ -54,10 +54,9 @@ def build_stereo_frame(
     One jitted program per image geometry; both extractions and the
     stereo search compile into a single XLA computation.
     """
-    from .orb_extractor import extract_orb_with_tiles
+    from .orb_extractor import extract_orb_stereo
 
-    featL, tilesL = extract_orb_with_tiles(img_left, cfg.orb)
-    featR, tilesR = extract_orb_with_tiles(img_right, cfg.orb)
+    featL, tilesL, featR, tilesR = extract_orb_stereo(img_left, img_right, cfg.orb)
     sm = stereo_match(featL, featR, tilesL, tilesR, cfg.camera, cfg.orb)
 
     xy_und = undistort_points(cfg.camera, featL.xy)

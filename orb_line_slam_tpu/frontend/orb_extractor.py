@@ -140,3 +140,66 @@ def extract_orb(image: jnp.ndarray, cfg: OrbConfig) -> FrameFeatures:
     """
     feat, _ = extract_orb_with_tiles(image, cfg)
     return feat
+
+
+def extract_orb_stereo(img_left: jnp.ndarray, img_right: jnp.ndarray, cfg: OrbConfig):
+    """Joint extraction for a stereo pair: detection per image/level, but
+    ONE stacked atlas + ONE patch-DMA launch + ONE set of BRIEF matmuls
+    for both images (the reference parallelizes L/R with two pthreads;
+    here both feed the same device kernels).
+
+    Returns (featL, tilesL, featR, tilesR).
+    """
+    from ..ops.image import pyramid_atlas
+
+    per_image = []
+    atlases = []
+    for image in (img_left, img_right):
+        img = image.astype(jnp.float32)
+        levels = build_pyramid(img, cfg.n_levels, cfg.scale_factor)
+        atlas, offs = pyramid_atlas(levels)
+        all_xy, all_axy, all_resp, all_oct, all_valid = [], [], [], [], []
+        for lvl in range(cfg.n_levels):
+            xy, resp, valid = _detect_level(levels[lvl], cfg.level_quotas[lvl], cfg)
+            all_xy.append(xy.astype(jnp.float32) * cfg.level_scales[lvl])
+            all_axy.append(xy + jnp.array([[0, 1]], jnp.int32) * offs[lvl])
+            all_resp.append(resp)
+            all_oct.append(jnp.full((cfg.level_quotas[lvl],), lvl, dtype=jnp.int32))
+            all_valid.append(valid)
+        per_image.append(
+            (
+                jnp.concatenate(all_xy),
+                jnp.concatenate(all_axy),
+                jnp.concatenate(all_resp),
+                jnp.concatenate(all_oct),
+                jnp.concatenate(all_valid),
+            )
+        )
+        atlases.append(atlas)
+
+    # Two DMA launches (one per image atlas; the scalar-prefetch SMEM
+    # budget caps keypoints per launch anyway) but ONE orientation/
+    # blur/BRIEF pass over the concatenated tiles.
+    tiles = jnp.concatenate(
+        [
+            gather_patch_tiles(atlases[0], per_image[0][1]),
+            gather_patch_tiles(atlases[1], per_image[1][1]),
+        ]
+    )
+    angles = ic_angle_from_tiles(tiles)
+    desc = brief_descriptors_from_tiles(blur_tiles(tiles), angles)
+
+    n = cfg.n_features
+    feats = []
+    for i, (xy, _, resp, octv, valid) in enumerate(per_image):
+        feats.append(
+            FrameFeatures(
+                xy=xy,
+                response=resp,
+                angle=angles[i * n : (i + 1) * n],
+                octave=octv,
+                desc=desc[i * n : (i + 1) * n],
+                valid=valid,
+            )
+        )
+    return feats[0], tiles[:n], feats[1], tiles[n:]
