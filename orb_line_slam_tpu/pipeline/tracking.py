@@ -381,6 +381,43 @@ class Tracker:
             cand = [
                 k for k in range(self.map._next_kf - 1, -1, -1) if self.map.kf_valid[k]
             ][:5]
+        # First pass: EPnP RANSAC from descriptor matches against each
+        # candidate's landmarks (Tracking::Relocalization's PnPsolver
+        # stage) gives a pose hypothesis without any prior.
+        import jax
+
+        from ..backend.pnp import solve_pnp_ransac
+
+        for k in cand:
+            kf_lm = self.map.kf_obs_lm[k]
+            has_lm = (kf_lm >= 0) & self.map.pt_valid[np.clip(kf_lm, 0, self.map.P - 1)]
+            if has_lm.sum() < 30:
+                continue
+            m = match_descriptors(
+                frame.desc, frame.valid,
+                jnp.asarray(self.map.kf_desc[k]), jnp.asarray(has_lm),
+                max_dist=50, ratio=0.75,
+            )
+            mask = np.asarray(m.mask)
+            if mask.sum() < 15:
+                continue
+            idx = np.asarray(m.idx)
+            lm = np.where(mask, kf_lm[np.where(idx >= 0, idx, 0)], 0)
+            res = solve_pnp_ransac(
+                jnp.asarray(self.map.pt_pos[lm]), frame.xy,
+                jnp.asarray(mask), jax.random.PRNGKey(self.frame_id),
+                self.cfg.camera, jnp.ones(frame.n),
+            )
+            if int(res[3]) < 15:
+                continue
+            assoc = np.where(mask & np.asarray(res[2]), lm, -1).astype(np.int32)
+            R, t, assoc, n_inl = self._pose_opt_from_assoc(
+                frame, assoc, np.asarray(res[0]), np.asarray(res[1])
+            )
+            if n_inl >= 15:
+                self.R, self.t = R, t
+                self.ref_kf = k
+                return True, assoc, n_inl
         for k in cand:
             self.ref_kf = k
             saved_R, saved_t = self.last_R, self.last_t
