@@ -71,17 +71,27 @@ def blur_tiles(tiles: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.n
     from ..ops.image import gaussian_kernel1d
 
     k = gaussian_kernel1d(sigma, radius)
-    x = tiles[:, None, :, :]
     kh = k.reshape(1, 1, 1, -1)
     kv = k.reshape(1, 1, -1, 1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn
-    )
-    x = jax.lax.conv_general_dilated(
-        x, kv, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn
-    )
-    return x[:, 0]
+
+    def conv(x):
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kh.shape, ("NCHW", "OIHW", "NCHW")
+        )
+        x = jax.lax.conv_general_dilated(
+            x, kh, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn
+        )
+        return jax.lax.conv_general_dilated(
+            x, kv, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn
+        )
+
+    out = conv(tiles[:, None, :, :])[:, 0]
+    # Normalized convolution: divide by the blurred all-ones tile so the
+    # zero padding doesn't darken the border ring (BRIEF samples reach
+    # radius 14 of the 32x32 tile; a darkened rim flips bits whenever
+    # the rotation moves samples across it).
+    norm = conv(jnp.ones((1, 1) + tiles.shape[1:], tiles.dtype))[0, 0]
+    return out / norm[None]
 
 
 def extract_orb_with_tiles(image: jnp.ndarray, cfg: OrbConfig):

@@ -33,12 +33,21 @@ BRIEF_CLIP = 13  # max |coord| of a test point, keeps rotated reads in patch
 
 @functools.lru_cache()
 def brief_pattern() -> np.ndarray:
-    """[256, 4] float32 rows (x1, y1, x2, y2), deterministic."""
+    """[256, 4] float32 rows (x1, y1, x2, y2), deterministic.
+
+    Test points are clipped to EUCLIDEAN radius 14 so that any in-plane
+    rotation keeps every sample inside the 32x32 DMA tile (keypoint at
+    (15, 15)) — axis-wise clipping would let rotated samples spill past
+    the tile edge and corrupt descriptors of rotated keypoints."""
     rng = np.random.default_rng(0x0B51EF)
     sigma = PATCH / 5.0
-    pts = rng.normal(0.0, sigma, size=(256, 4))
-    pts = np.clip(pts, -BRIEF_CLIP, BRIEF_CLIP)
-    return pts.astype(np.float32)
+    pts = rng.normal(0.0, sigma, size=(256, 4)).astype(np.float32)
+    for cols in ((0, 1), (2, 3)):
+        r = np.sqrt(pts[:, cols[0]] ** 2 + pts[:, cols[1]] ** 2)
+        scale = np.minimum(1.0, 14.0 / np.maximum(r, 1e-6))
+        pts[:, cols[0]] *= scale
+        pts[:, cols[1]] *= scale
+    return pts
 
 
 @functools.lru_cache()

@@ -115,7 +115,11 @@ class Tracker:
 
         m = match_in_window(ref, frame, radius=100.0, max_dist=50, ratio=0.9)
         mask = np.asarray(m.mask)
-        if mask.sum() < 100:
+        # Minimum match support scales with the feature budget (the
+        # reference's 100 assumes 2000+ features); below it, slide the
+        # reference frame forward.
+        min_matches = max(70, self.cfg.orb.n_features // 25)
+        if mask.sum() < min_matches:
             self._init_ref = (frame, timestamp, self.frame_id)  # reset ref
             return
         idx = np.asarray(m.idx)

@@ -15,7 +15,7 @@ CAM = CameraIntrinsics(
 )
 CFG = SlamConfig(
     camera=CAM,
-    orb=OrbConfig(n_features=768, n_levels=4),
+    orb=OrbConfig(n_features=1280, n_levels=4),
     lines=LineConfig(enabled=False),
     map=MapConfig(max_keyframes=64, max_points=8192, max_lines=64,
                   local_window=8, local_points=2048),
@@ -29,7 +29,7 @@ def test_mono_sequence():
     growth under pure rotation/scale drift — is tracked as future work;
     the reference's benchmarks are stereo.)"""
     n_frames = 10
-    scene = SyntheticScene(CAM, n_points=800, seed=12,
+    scene = SyntheticScene(CAM, n_points=1000, seed=12,
                            extent=((-10, 10), (-5, 5), (4, 25)))
     # Sideways-dominant motion gives parallax for mono init.
     poses = []
