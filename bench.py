@@ -57,7 +57,7 @@ def main():
     acc = step(jnp.float32(0), *imgs[0])  # warmup/compile
     float(acc)
 
-    n_iters = 20
+    n_iters = 40
     t0 = time.perf_counter()
     acc = jnp.float32(0)
     for i in range(n_iters):
@@ -66,6 +66,10 @@ def main():
     dt = time.perf_counter() - t0
     fps = n_iters / dt
 
+    # Secondary: local-BA LM iteration time (16 cams + 16 fixed, 4096
+    # landmarks, 16k observations — a KITTI-scale local window).
+    ba_ms = _bench_local_ba(jax, jnp, cam)
+
     print(
         json.dumps(
             {
@@ -73,9 +77,54 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
+                "extra": {"local_ba_iter_ms": round(ba_ms, 2)},
             }
         )
     )
+
+
+def _bench_local_ba(jax, jnp, cam):
+    from orb_line_slam_tpu.backend.local_ba import bundle_adjust
+
+    rng = np.random.default_rng(1)
+    C, P, O = 32, 4096, 16384
+    pts = np.stack(
+        [rng.uniform(-20, 20, P), rng.uniform(-5, 5, P), rng.uniform(5, 60, P)], -1
+    ).astype(np.float32)
+    R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+    t = np.zeros((C, 3), np.float32)
+    t[:, 0] = np.arange(C) * 0.5
+    obs_cam = rng.integers(0, C, O).astype(np.int32)
+    obs_lm = rng.integers(0, P, O).astype(np.int32)
+    xc = np.einsum("oij,oj->oi", R[obs_cam], pts[obs_lm]) + t[obs_cam]
+    z = np.maximum(xc[:, 2], 1.0)
+    obs = np.stack(
+        [
+            cam.fx * xc[:, 0] / z + cam.cx,
+            cam.fy * xc[:, 1] / z + cam.cy,
+            cam.fx * xc[:, 0] / z + cam.cx - cam.bf / z,
+        ],
+        -1,
+    ).astype(np.float32)
+    fixed = np.zeros(C, bool)
+    fixed[:16] = True
+    args = (
+        jnp.asarray(R), jnp.asarray(t), jnp.asarray(fixed),
+        jnp.asarray(pts), jnp.ones(P, bool),
+        jnp.asarray(obs_cam), jnp.asarray(obs_lm), jnp.asarray(obs),
+        jnp.zeros(O, jnp.int32), jnp.ones(O, bool),
+    )
+    n_iters = 15  # iters1=5 + iters2=10
+
+    def run():
+        res = bundle_adjust(*args, cam)
+        return float(res.chi2)
+
+    run()  # compile
+    t0 = time.perf_counter()
+    run()
+    run()
+    return (time.perf_counter() - t0) / 2 / n_iters * 1000.0
 
 
 if __name__ == "__main__":

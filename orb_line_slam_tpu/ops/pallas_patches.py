@@ -28,7 +28,7 @@ TILE_H = 40            # aligned DMA superset: 8-aligned rows
 TILE_W = 256           # 128-aligned columns (roll needs lane-aligned shapes)
 
 
-KP_PER_STEP = 16  # keypoints per grid step: amortizes the ~7us/step
+KP_PER_STEP = 32  # keypoints per grid step: amortizes the ~7us/step
                   # Mosaic loop overhead and keeps 16 DMAs in flight
 
 

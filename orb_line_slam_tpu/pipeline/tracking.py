@@ -70,6 +70,8 @@ class Tracker:
         self.on_keyframe = None          # callback(kf_id) after insertion
         self.localization_only = False   # tracking-only mode
         self.reloc_candidates_fn = None  # BoW relocalization candidates
+        self.async_mapping = False       # defer BA write-back to next KF
+        self._pending_ba = None
 
     # ------------------------------------------------------------------
     def process_stereo(self, img_left, img_right, timestamp: float = 0.0):
@@ -567,6 +569,7 @@ class Tracker:
 
     def _create_keyframe(self, frame: Frame, assoc, timestamp):
         cfg = self.cfg
+        self.flush_pending_ba()
         kf = self.map.add_keyframe(
             frame, self.R, self.t, self.frame_id, timestamp, lm_assoc=assoc
         )
@@ -639,7 +642,7 @@ class Tracker:
             if len(tri_ids):
                 self.recent_lm.append(tri_ids)
         if self.map.n_keyframes() >= 3:
-            self._local_ba(kf)
+            self._local_ba(kf, defer=self.async_mapping)
             # Redundant-keyframe culling over the local window.
             win, _ = self.map.covisible_keyframes(kf, min_weight=1, max_n=8)
             self.map.cull_keyframes([k for k in win if k != kf])
@@ -655,7 +658,12 @@ class Tracker:
             self.R = self.map.kf_R[kf].copy()
             self.t = self.map.kf_t[kf].copy()
 
-    def _local_ba(self, center_kf):
+    def _local_ba(self, center_kf, defer: bool = False):
+        """Local bundle adjustment.  With defer=True the device solve is
+        dispatched asynchronously and written back at the NEXT keyframe
+        (flush_pending_ba) — the tracking thread never blocks on mapping,
+        the property the reference gets from its LocalMapping pthread
+        (SURVEY.md §7.2 hard-part #4)."""
         mc = self.cfg.map
         pack = self.map.pack_local_ba(
             center_kf,
@@ -671,7 +679,19 @@ class Tracker:
             jnp.asarray(pack["obs_valid"]), self.cfg.camera,
             self.cfg.orb.scale_factor,
         )
+        if defer:
+            self._pending_ba = (pack, res, center_kf)
+            return
         self.map.apply_ba_result(pack, res)
         # Current pose rides with the reference KF.
         self.R = self.map.kf_R[center_kf].copy()
         self.t = self.map.kf_t[center_kf].copy()
+
+    def flush_pending_ba(self):
+        """Apply a deferred BA result (no-op if none pending)."""
+        pending = getattr(self, "_pending_ba", None)
+        if pending is None:
+            return
+        pack, res, center_kf = pending
+        self._pending_ba = None
+        self.map.apply_ba_result(pack, res)
