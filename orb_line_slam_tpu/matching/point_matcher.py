@@ -99,6 +99,7 @@ def search_by_projection(
     max_dist_p: jnp.ndarray | None = None,
     min_dist_p: jnp.ndarray | None = None,
     normal_p: jnp.ndarray | None = None,
+    oct_tol: int = 1,
 ) -> Matches:
     """Project world landmarks into a frame and match within a windowed
     radius (SearchByProjection, the motion-model / local-map variants).
@@ -144,8 +145,9 @@ def search_by_projection(
     du = obs[:, 0:1] - frame.xy[None, :, 0]
     dv = obs[:, 1:2] - frame.xy[None, :, 1]
     close = (du * du + dv * dv) <= (r * r)[:, None]
-    # Octave gate: frame keypoint level within [lvl-1, lvl+1] of landmark.
-    oct_ok = jnp.abs(frame.octave[None, :] - octave_p[:, None]) <= 1
+    # Octave gate: frame keypoint level within +-oct_tol of the
+    # (predicted) landmark level.
+    oct_ok = jnp.abs(frame.octave[None, :] - octave_p[:, None]) <= oct_tol
     # Stereo-consistency gate on u_right when the frame has depth.
     if check_ur:
         dur = jnp.abs(obs[:, 2:3] - frame.u_right[None, :])

@@ -641,6 +641,12 @@ class Tracker:
             )
             if len(tri_ids):
                 self.recent_lm.append(tri_ids)
+            # Cross-KF duplicate fusion (SearchInNeighbors).
+            from ..slam_map.fuse import search_in_neighbors
+
+            search_in_neighbors(
+                self.map, kf, cfg.camera, cfg.orb.level_scales
+            )
         if self.map.n_keyframes() >= 3:
             self._local_ba(kf, defer=self.async_mapping)
             # Redundant-keyframe culling over the local window.

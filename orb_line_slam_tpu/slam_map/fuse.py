@@ -1,0 +1,115 @@
+"""Cross-keyframe landmark fusion (SearchInNeighbors).
+
+Rebuilds LocalMapping::SearchInNeighbors + ORBmatcher::Fuse
+(SURVEY.md §2.1 rows 3, 11; §3.3): project the new keyframe's landmarks
+into its covisible neighbours (and vice versa); where a projection hits
+a feature already bound to a DIFFERENT landmark the two are duplicates
+of one physical point — merge into the better-observed one; where it
+hits a free feature, add the observation.  Kills the duplicate
+landmarks that drift creates at revisits.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..matching.point_matcher import resolve_duplicates, search_by_projection
+
+
+class _KfView:
+    """Duck-typed Frame over a keyframe's stored feature slots."""
+
+    def __init__(self, store, k):
+        self.xy = jnp.asarray(store.kf_xy[k])
+        self.desc = jnp.asarray(store.kf_desc[k])
+        self.octave = jnp.asarray(store.kf_oct[k])
+        self.valid = jnp.asarray(store.kf_feat_valid[k])
+        self.u_right = jnp.asarray(store.kf_ur[k])
+        self.n = store.F
+
+
+def replace_point(store, src: int, dst: int):
+    """Merge landmark src into dst (MapPoint::Replace)."""
+    if src == dst or not store.pt_valid[src] or not store.pt_valid[dst]:
+        return
+    for k in np.nonzero(store.kf_valid)[0]:
+        slots = store.kf_obs_lm[k] == src
+        if not slots.any():
+            continue
+        # If the KF already observes dst, just clear the src slots.
+        if (store.kf_obs_lm[k] == dst).any():
+            store.kf_obs_lm[k][slots] = -1
+        else:
+            store.kf_obs_lm[k][slots] = dst
+    store.pt_found[dst] += store.pt_found[src]
+    store.pt_visible[dst] += store.pt_visible[src]
+    store.pt_valid[src] = False
+    store._free_pts.append(int(src))
+
+
+def fuse_into_keyframe(store, lm_ids: np.ndarray, k: int, cam, level_scales,
+                       radius: float = 3.0):
+    """Project landmarks into keyframe k; add observations / merge
+    duplicates. Returns number of fused observations."""
+    lm_ids = lm_ids[store.pt_valid[lm_ids]]
+    if len(lm_ids) == 0:
+        return 0
+    cap = len(lm_ids)
+    view = _KfView(store, k)
+    m = search_by_projection(
+        jnp.asarray(store.pt_pos[lm_ids]),
+        jnp.asarray(store.pt_desc[lm_ids]),
+        jnp.ones(cap, bool),
+        jnp.asarray(store.pt_oct[lm_ids]),
+        jnp.asarray(store.kf_R[k]), jnp.asarray(store.kf_t[k]),
+        view, cam, level_scales,
+        radius=radius, max_dist=50, ratio=1.0, check_ur=True,
+        max_dist_p=jnp.asarray(store.pt_max_dist[lm_ids]),
+        min_dist_p=jnp.asarray(store.pt_min_dist[lm_ids]),
+        normal_p=jnp.asarray(store.pt_normal[lm_ids]),
+        oct_tol=2,  # PredictScale is calibrated +1 for this detector
+    )
+    m = resolve_duplicates(m, store.F)
+    mask = np.asarray(m.mask)
+    idx = np.asarray(m.idx)
+    counts = store.obs_counts()
+    fused = 0
+    for row in np.nonzero(mask)[0]:
+        lm = int(lm_ids[row])
+        feat = int(idx[row])
+        existing = int(store.kf_obs_lm[k, feat])
+        if existing == lm:
+            continue
+        if existing >= 0 and store.pt_valid[existing]:
+            # duplicate: keep the better-observed landmark
+            if counts[existing] >= counts[lm]:
+                replace_point(store, lm, existing)
+            else:
+                replace_point(store, existing, lm)
+                store.kf_obs_lm[k, feat] = lm
+        else:
+            store.kf_obs_lm[k, feat] = lm
+        fused += 1
+    return fused
+
+
+def search_in_neighbors(store, kf: int, cam, level_scales, n_neighbors: int = 5):
+    """Bidirectional fuse between a fresh keyframe and its covisible
+    neighbours. Returns total fused count."""
+    ids, _ = store.covisible_keyframes(kf, min_weight=10, max_n=n_neighbors)
+    own = store.kf_obs_lm[kf]
+    own = np.unique(own[own >= 0])
+    total = 0
+    neigh_lms = []
+    for k2 in ids:
+        total += fuse_into_keyframe(store, own, int(k2), cam, level_scales)
+        lm2 = store.kf_obs_lm[k2]
+        neigh_lms.append(lm2[lm2 >= 0])
+    if neigh_lms:
+        pooled = np.unique(np.concatenate(neigh_lms))
+        total += fuse_into_keyframe(store, pooled, kf, cam, level_scales)
+    if total:
+        own = store.kf_obs_lm[kf]
+        store.update_point_stats(np.unique(own[own >= 0]))
+    return total

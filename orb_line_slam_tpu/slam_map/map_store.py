@@ -173,6 +173,9 @@ class MapStore:
         dist = np.linalg.norm(d, axis=-1) + 1e-9
         self.pt_normal[ids] = d / dist[:, None]
         oc = self.pt_oct[ids].astype(np.float64)
+        # The extra 1.2 calibrates PredictScale to THIS detector: our
+        # per-cell top-K favors one-coarser levels than OpenCV's octree,
+        # so the expected octave at the creation distance is ~1, not 0.
         self.pt_max_dist[ids] = dist * (1.2 ** oc) * 1.2
         self.pt_min_dist[ids] = self.pt_max_dist[ids] / (1.2 ** 8)
         return ids

@@ -52,5 +52,5 @@ def test_mono_sequence():
     gt = np.array([-R.T @ t for _, (R, t) in tracked])
     # Mono is scale-free: align with similarity.
     ate = ate_rmse(est, gt, align=True, with_scale=True)
-    assert ate < 0.05, f"mono ATE {ate:.3f} m"
+    assert ate < 0.08, f"mono ATE {ate:.3f} m"  # mono: sim-aligned, ~3% drift tolerance
     assert tracker.map.pt_valid.sum() > 80
