@@ -68,7 +68,12 @@ def _ba_shard_body(
 
         Hcc = jnp.zeros((C, 6, 6)).at[obs_cam].add(JcT_Jc)
         Hpp = jnp.zeros((Pl, 3, 3)).at[obs_lm_local].add(JpT_Jp)
-        B = jnp.zeros((Pl, C, 6, 3)).at[obs_lm_local, obs_cam].add(JcT_Jp)
+        B = (
+            jnp.zeros((Pl * C, 18))
+            .at[obs_lm_local * C + obs_cam]
+            .add(JcT_Jp.reshape(-1, 18))
+            .reshape(Pl, C, 6, 3)
+        )
         gc = jnp.zeros((C, 6)).at[obs_cam].add(gc_o)
         gp = jnp.zeros((Pl, 3)).at[obs_lm_local].add(gp_o)
 
