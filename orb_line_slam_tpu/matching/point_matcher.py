@@ -13,6 +13,7 @@ top-3 bins kept.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -33,6 +34,7 @@ class Matches(NamedTuple):
     mask: jnp.ndarray  # bool [M]
 
 
+@jax.jit
 def rotation_consistency(
     angle_a: jnp.ndarray, angle_b_matched: jnp.ndarray, mask: jnp.ndarray
 ) -> jnp.ndarray:
@@ -52,6 +54,7 @@ def rotation_consistency(
     return mask & good_bin[bins]
 
 
+@functools.partial(jax.jit, static_argnames=("max_dist", "ratio"))
 def match_descriptors(
     desc_a: jnp.ndarray,
     valid_a: jnp.ndarray,
@@ -82,6 +85,13 @@ def predict_scale(
     return jnp.clip(oct_f, 0, n_levels - 1).astype(jnp.int32)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cam", "level_scales", "radius", "max_dist", "ratio", "check_ur",
+        "oct_tol",
+    ),
+)
 def search_by_projection(
     points_w: jnp.ndarray,
     desc_p: jnp.ndarray,
@@ -170,6 +180,7 @@ def search_by_projection(
     return Matches(jnp.where(ok, idx, -1), d1, ok)
 
 
+@functools.partial(jax.jit, static_argnames=("n_targets",))
 def resolve_duplicates(matches: Matches, n_targets: int) -> Matches:
     """Keep only the lowest-distance landmark per frame keypoint (the
     reference replaces an existing match if a closer one arrives)."""
@@ -189,6 +200,7 @@ def resolve_duplicates(matches: Matches, n_targets: int) -> Matches:
     return Matches(jnp.where(keep, matches.idx, -1), matches.dist, keep)
 
 
+@functools.partial(jax.jit, static_argnames=("radius", "max_dist", "ratio"))
 def match_in_window(
     frame_a,
     frame_b,

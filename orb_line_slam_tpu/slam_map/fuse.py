@@ -17,16 +17,20 @@ import numpy as np
 from ..matching.point_matcher import resolve_duplicates, search_by_projection
 
 
-class _KfView:
-    """Duck-typed Frame over a keyframe's stored feature slots."""
+def _kf_view(store, k):
+    """Frame pytree over a keyframe's stored feature slots (jit-able)."""
+    from ..frontend.frame import Frame
 
-    def __init__(self, store, k):
-        self.xy = jnp.asarray(store.kf_xy[k])
-        self.desc = jnp.asarray(store.kf_desc[k])
-        self.octave = jnp.asarray(store.kf_oct[k])
-        self.valid = jnp.asarray(store.kf_feat_valid[k])
-        self.u_right = jnp.asarray(store.kf_ur[k])
-        self.n = store.F
+    return Frame(
+        xy=jnp.asarray(store.kf_xy[k]),
+        response=jnp.zeros(store.F, jnp.float32),
+        angle=jnp.asarray(store.kf_angle[k]),
+        octave=jnp.asarray(store.kf_oct[k]),
+        desc=jnp.asarray(store.kf_desc[k]),
+        valid=jnp.asarray(store.kf_feat_valid[k]),
+        u_right=jnp.asarray(store.kf_ur[k]),
+        depth=jnp.asarray(store.kf_depth[k]),
+    )
 
 
 def replace_point(store, src: int, dst: int):
@@ -56,7 +60,7 @@ def fuse_into_keyframe(store, lm_ids: np.ndarray, k: int, cam, level_scales,
     if len(lm_ids) == 0:
         return 0
     cap = len(lm_ids)
-    view = _KfView(store, k)
+    view = _kf_view(store, k)
     m = search_by_projection(
         jnp.asarray(store.pt_pos[lm_ids]),
         jnp.asarray(store.pt_desc[lm_ids]),
