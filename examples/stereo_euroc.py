@@ -10,9 +10,13 @@ LEFT.*/RIGHT.* rectification blocks are honored).
 """
 
 import argparse
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main():
