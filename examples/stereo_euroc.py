@@ -18,6 +18,14 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+import os
+
+if os.environ.get("JAX_PLATFORMS"):
+    # The axon TPU plugin ignores the env var; enforce it via config.
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def main():
     ap = argparse.ArgumentParser()
