@@ -1,0 +1,260 @@
+"""Joint point+line bundle adjustment (Schur over both landmark types).
+
+The reference's LocalBundleAdjustment includes MapLine vertices with
+Plücker/orthonormal 4-DoF updates alongside point vertices
+(arXiv:1711.08654 §III-C; SURVEY.md §2.1 rows 8, 13).  This solver
+extends backend/local_ba.py's dense-block Schur reduction with line
+landmarks:
+
+  - line residual: perpendicular distances of the observed segment's
+    two endpoints to the PROJECTED infinite line l = K_L n_c (2-DoF);
+  - line blocks: Hll [L,4,4], coupling Bl [L,C,6,4] — eliminated
+    exactly like the 3x3 point blocks, folding into the SAME reduced
+    camera system:
+        S = Hcc - Bp Vp Bp^T - Bl Vl Bl^T
+  - line update: orthonormal retraction (U exp([th]x), rot(phi) w).
+
+Point math is shared with local_ba (_residuals_and_jacs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.camera import CameraIntrinsics
+from ..geometry.lines3d import (
+    line_projection_matrix,
+    orthonormal_retract,
+    pluecker_from_orthonormal,
+    pluecker_transform,
+)
+from ..geometry.se3 import se3_compose, se3_exp
+from .local_ba import _residuals_and_jacs
+from .residuals import inv_level_sigma2, make_point_residual_fn
+from .robust import CHI2_MONO, CHI2_STEREO, huber_weight
+
+
+class PLBAResult(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    points: jnp.ndarray
+    line_U: jnp.ndarray        # [L, 3, 3]
+    line_w: jnp.ndarray        # [L, 2]
+    obs_inlier: jnp.ndarray    # bool [O] point observations
+    lobs_inlier: jnp.ndarray   # bool [Ol] line observations
+    chi2: jnp.ndarray
+
+
+def _line_residual_fn(cam: CameraIntrinsics):
+    KL = line_projection_matrix(cam.fx, cam.fy, cam.cx, cam.cy)
+
+    def fn(R, t, U, w, obs_a, obs_b):
+        n_w, v_w = pluecker_from_orthonormal(U, w)
+        n_c, _ = pluecker_transform(R, t, n_w, v_w)
+        l = KL @ n_c
+        norm = jnp.sqrt(l[0] ** 2 + l[1] ** 2 + 1e-12)
+        d_a = (l[0] * obs_a[0] + l[1] * obs_a[1] + l[2]) / norm
+        d_b = (l[0] * obs_b[0] + l[1] * obs_b[1] + l[2]) / norm
+        return jnp.stack([d_a, d_b])
+
+    return fn
+
+
+def _line_res_jacs(line_fn, R, t, U, w, lobs_cam, lobs_ln, lobs_a, lobs_b):
+    Ro = R[lobs_cam]
+    to = t[lobs_cam]
+    Uo = U[lobs_ln]
+    wo = w[lobs_ln]
+
+    def per_obs(Ri, ti, Ui, wi, ai, bi):
+        def f(xi_c, xi_l):
+            dR, dt = se3_exp(xi_c)
+            R2, t2 = se3_compose(dR, dt, Ri, ti)
+            U2, w2 = orthonormal_retract(Ui, wi, xi_l)
+            return line_fn(R2, t2, U2, w2, ai, bi)
+
+        z6 = jnp.zeros(6)
+        z4 = jnp.zeros(4)
+        r = line_fn(Ri, ti, Ui, wi, ai, bi)
+        Jc, Jl = jax.jacfwd(f, argnums=(0, 1))(z6, z4)
+        return r, Jc, Jl
+
+    return jax.vmap(per_obs)(Ro, to, Uo, wo, lobs_a, lobs_b)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cam", "scale_factor", "iters1", "iters2"),
+)
+def bundle_adjust_pl(
+    R0, t0, cam_fixed,
+    points0, point_valid,
+    obs_cam, obs_lm, obs_uvur, obs_oct, obs_valid,
+    line_U0, line_w0, line_valid,          # [L,3,3], [L,2], [L]
+    lobs_cam, lobs_ln, lobs_a, lobs_b,     # [Ol], [Ol], [Ol,2], [Ol,2]
+    lobs_oct, lobs_valid,                  # [Ol]
+    cam: CameraIntrinsics,
+    scale_factor: float = 1.2,
+    iters1: int = 5,
+    iters2: int = 10,
+) -> PLBAResult:
+    C = R0.shape[0]
+    P = points0.shape[0]
+    L = line_U0.shape[0]
+    point_fn = make_point_residual_fn(cam)
+    line_fn = _line_residual_fn(cam)
+
+    is_stereo = obs_uvur[:, 2] > 0
+    p_info = inv_level_sigma2(obs_oct, scale_factor)
+    l_info = inv_level_sigma2(lobs_oct, scale_factor)
+    chi2_th_p = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    obs_valid = obs_valid & point_valid[obs_lm]
+    lobs_valid = lobs_valid & line_valid[lobs_ln]
+    free_c = (~cam_fixed).astype(jnp.float32)[:, None]
+
+    def total_chi2(R, t, points, U, w, ov, lov, use_huber):
+        r = point_fn(R[obs_cam], t[obs_cam], points[obs_lm], obs_uvur, is_stereo)
+        c_p = jnp.sum(r * r, -1) * p_info
+        rl = jax.vmap(line_fn)(
+            R[lobs_cam], t[lobs_cam], U[lobs_ln], w[lobs_ln], lobs_a, lobs_b
+        )
+        c_l = jnp.sum(rl * rl, -1) * l_info
+        w_p = huber_weight(c_p, CHI2_STEREO) if use_huber else 1.0
+        w_l = huber_weight(c_l, CHI2_MONO) if use_huber else 1.0
+        return (
+            jnp.sum(jnp.where(ov, c_p * w_p, 0.0))
+            + jnp.sum(jnp.where(lov, c_l * w_l, 0.0)),
+            c_p,
+            c_l,
+        )
+
+    def lm_iteration(carry, _, ov, lov, use_huber):
+        R, t, points, U, w, lam = carry
+        # ---- point blocks (same math as local_ba) ----
+        r, Jc, Jp = _residuals_and_jacs(
+            point_fn, R, t, points, obs_cam, obs_lm, obs_uvur, is_stereo
+        )
+        c_p = jnp.sum(r * r, -1) * p_info
+        wgt = p_info * jnp.where(ov, 1.0, 0.0)
+        if use_huber:
+            wgt = wgt * huber_weight(c_p, CHI2_STEREO)
+        JcT_Jc = jnp.einsum("odi,odj,o->oij", Jc, Jc, wgt)
+        JpT_Jp = jnp.einsum("odi,odj,o->oij", Jp, Jp, wgt)
+        JcT_Jp = jnp.einsum("odi,odj,o->oij", Jc, Jp, wgt)
+        gc_o = jnp.einsum("odi,od,o->oi", Jc, r, wgt)
+        gp_o = jnp.einsum("odi,od,o->oi", Jp, r, wgt)
+        Hcc = jnp.zeros((C, 6, 6)).at[obs_cam].add(JcT_Jc)
+        Hpp = jnp.zeros((P, 3, 3)).at[obs_lm].add(JpT_Jp)
+        Bp = (
+            jnp.zeros((P * C, 18))
+            .at[obs_lm * C + obs_cam]
+            .add(JcT_Jp.reshape(-1, 18))
+            .reshape(P, C, 6, 3)
+        )
+        gc = jnp.zeros((C, 6)).at[obs_cam].add(gc_o)
+        gp = jnp.zeros((P, 3)).at[obs_lm].add(gp_o)
+
+        # ---- line blocks ----
+        rl, Jlc, Jll = _line_res_jacs(
+            line_fn, R, t, U, w, lobs_cam, lobs_ln, lobs_a, lobs_b
+        )
+        c_l = jnp.sum(rl * rl, -1) * l_info
+        lw = l_info * jnp.where(lov, 1.0, 0.0)
+        if use_huber:
+            lw = lw * huber_weight(c_l, CHI2_MONO)
+        JlcT_Jlc = jnp.einsum("odi,odj,o->oij", Jlc, Jlc, lw)
+        JllT_Jll = jnp.einsum("odi,odj,o->oij", Jll, Jll, lw)
+        JlcT_Jll = jnp.einsum("odi,odj,o->oij", Jlc, Jll, lw)
+        glc_o = jnp.einsum("odi,od,o->oi", Jlc, rl, lw)
+        gll_o = jnp.einsum("odi,od,o->oi", Jll, rl, lw)
+        Hcc = Hcc.at[lobs_cam].add(JlcT_Jlc)
+        Hll = jnp.zeros((L, 4, 4)).at[lobs_ln].add(JllT_Jll)
+        Bl = (
+            jnp.zeros((L * C, 24))
+            .at[lobs_ln * C + lobs_cam]
+            .add(JlcT_Jll.reshape(-1, 24))
+            .reshape(L, C, 6, 4)
+        )
+        gc = gc.at[lobs_cam].add(glc_o)
+        gl = jnp.zeros((L, 4)).at[lobs_ln].add(gll_o)
+
+        # ---- damping + eliminations ----
+        Hcc = Hcc + lam * Hcc * jnp.eye(6) + 1e-8 * jnp.eye(6)
+        Hpp = Hpp + lam * Hpp * jnp.eye(3)
+        Hpp = Hpp + (1e-6 + (~point_valid[:, None, None]) * 1.0) * jnp.eye(3)
+        Vp = jnp.linalg.inv(Hpp)
+        Hll = Hll + lam * Hll * jnp.eye(4)
+        Hll = Hll + (1e-5 + (~line_valid[:, None, None]) * 1.0) * jnp.eye(4)
+        Vl = jnp.linalg.inv(Hll)
+
+        Wpp = jnp.einsum("pcij,pjk->pcik", Bp, Vp)
+        Wll = jnp.einsum("lcij,ljk->lcik", Bl, Vl)
+        A1p = Wpp.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
+        A2p = Bp.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
+        A1l = Wll.transpose(1, 2, 0, 3).reshape(C * 6, L * 4)
+        A2l = Bl.transpose(1, 2, 0, 3).reshape(C * 6, L * 4)
+        idx = jnp.arange(C)
+        Hcc_full = (
+            jnp.zeros((C, 6, C, 6)).at[idx, :, idx, :].set(Hcc).reshape(C * 6, C * 6)
+        )
+        S = (
+            Hcc_full
+            - jnp.dot(A1p, A2p.T, preferred_element_type=jnp.float32)
+            - jnp.dot(A1l, A2l.T, preferred_element_type=jnp.float32)
+        )
+        rhs = -(
+            gc
+            - jnp.einsum("pcik,pk->ci", Wpp, gp)
+            - jnp.einsum("lcik,lk->ci", Wll, gl)
+        ).reshape(C * 6)
+
+        m = jnp.repeat(free_c[:, 0], 6)
+        S = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+        rhs = rhs * m
+        dc = jnp.linalg.solve(S, rhs).reshape(C, 6)
+
+        dp = -jnp.einsum("pij,pj->pi", Vp, gp + jnp.einsum("pcij,ci->pj", Bp, dc))
+        dp = dp * point_valid[:, None]
+        dl = -jnp.einsum("lij,lj->li", Vl, gl + jnp.einsum("lcij,ci->lj", Bl, dc))
+        dl = dl * line_valid[:, None]
+
+        dR, dt = se3_exp(dc * free_c)
+        R2, t2 = jax.vmap(se3_compose)(dR, dt, R, t)
+        points2 = points + dp
+        U2, w2 = orthonormal_retract(U, w, dl)
+        err0, _, _ = total_chi2(R, t, points, U, w, ov, lov, use_huber)
+        err1, _, _ = total_chi2(R2, t2, points2, U2, w2, ov, lov, use_huber)
+        accept = err1 < err0
+        R = jnp.where(accept, R2, R)
+        t = jnp.where(accept, t2, t)
+        points = jnp.where(accept, points2, points)
+        U = jnp.where(accept, U2, U)
+        w = jnp.where(accept, w2, w)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e5)
+        return (R, t, points, U, w, lam), None
+
+    def run_stage(R, t, points, U, w, ov, lov, n_iters, use_huber):
+        body = functools.partial(lm_iteration, ov=ov, lov=lov, use_huber=use_huber)
+        (R, t, points, U, w, _), _ = jax.lax.scan(
+            body, (R, t, points, U, w, jnp.float32(1e-4)), None, length=n_iters
+        )
+        return R, t, points, U, w
+
+    R, t, points, U, w = run_stage(
+        R0, t0, points0, line_U0, line_w0, obs_valid, lobs_valid, iters1, True
+    )
+    _, c_p, c_l = total_chi2(R, t, points, U, w, obs_valid, lobs_valid, False)
+    ov = obs_valid & (c_p <= chi2_th_p)
+    lov = lobs_valid & (c_l <= CHI2_MONO)
+    R, t, points, U, w = run_stage(R, t, points, U, w, ov, lov, iters2, False)
+    err, c_p, c_l = total_chi2(R, t, points, U, w, ov, lov, False)
+    ov = obs_valid & (c_p <= chi2_th_p)
+    lov = lobs_valid & (c_l <= CHI2_MONO)
+    return PLBAResult(
+        R=R, t=t, points=points, line_U=U, line_w=w,
+        obs_inlier=ov, lobs_inlier=lov, chi2=err,
+    )

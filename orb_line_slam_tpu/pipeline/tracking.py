@@ -680,27 +680,75 @@ class Tracker:
             max_points=mc.local_points,
             max_obs=(mc.local_window + 16) * 512,
         )
-        res = bundle_adjust(
-            jnp.asarray(pack["R"]), jnp.asarray(pack["t"]), jnp.asarray(pack["cam_fixed"]),
-            jnp.asarray(pack["points"]), jnp.asarray(pack["point_valid"]),
-            jnp.asarray(pack["obs_cam"]), jnp.asarray(pack["obs_lm"]),
-            jnp.asarray(pack["obs_uvur"]), jnp.asarray(pack["obs_oct"]),
-            jnp.asarray(pack["obs_valid"]), self.cfg.camera,
-            self.cfg.orb.scale_factor,
-        )
+        lpack = None
+        if self.cfg.lines.enabled:
+            lpack = self.map.pack_line_obs(
+                pack["cam_ids"], max_lines=self.cfg.lines.n_lines,
+                max_lobs=self.cfg.lines.n_lines * 8,
+            )
+        if lpack is not None:
+            from ..backend.line_ba import bundle_adjust_pl
+            from ..geometry.lines3d import (
+                orthonormal_from_pluecker,
+                pluecker_from_endpoints,
+            )
+
+            ids = lpack["ln_ids"]
+            Lc = self.cfg.lines.n_lines
+            s_w = np.zeros((Lc, 3), np.float32)
+            e_w = np.ones((Lc, 3), np.float32)
+            lval = np.zeros(Lc, bool)
+            s_w[: len(ids)] = self.map.ln_start[ids]
+            e_w[: len(ids)] = self.map.ln_end[ids]
+            lval[: len(ids)] = True
+            U0, w0 = orthonormal_from_pluecker(
+                *pluecker_from_endpoints(jnp.asarray(s_w), jnp.asarray(e_w))
+            )
+            res = bundle_adjust_pl(
+                jnp.asarray(pack["R"]), jnp.asarray(pack["t"]),
+                jnp.asarray(pack["cam_fixed"]),
+                jnp.asarray(pack["points"]), jnp.asarray(pack["point_valid"]),
+                jnp.asarray(pack["obs_cam"]), jnp.asarray(pack["obs_lm"]),
+                jnp.asarray(pack["obs_uvur"]), jnp.asarray(pack["obs_oct"]),
+                jnp.asarray(pack["obs_valid"]),
+                U0, w0, jnp.asarray(lval),
+                jnp.asarray(lpack["lobs_cam"]), jnp.asarray(lpack["lobs_ln"]),
+                jnp.asarray(lpack["lobs_a"]), jnp.asarray(lpack["lobs_b"]),
+                jnp.zeros(len(lpack["lobs_cam"]), jnp.int32),
+                jnp.asarray(lpack["lobs_valid"]),
+                self.cfg.camera, self.cfg.orb.scale_factor,
+            )
+        else:
+            res = bundle_adjust(
+                jnp.asarray(pack["R"]), jnp.asarray(pack["t"]), jnp.asarray(pack["cam_fixed"]),
+                jnp.asarray(pack["points"]), jnp.asarray(pack["point_valid"]),
+                jnp.asarray(pack["obs_cam"]), jnp.asarray(pack["obs_lm"]),
+                jnp.asarray(pack["obs_uvur"]), jnp.asarray(pack["obs_oct"]),
+                jnp.asarray(pack["obs_valid"]), self.cfg.camera,
+                self.cfg.orb.scale_factor,
+            )
         if defer:
-            self._pending_ba = (pack, res, center_kf)
+            self._pending_ba = (pack, lpack, res, center_kf)
             return
+        self._apply_ba(pack, lpack, res, center_kf, ride=True)
+
+    def _apply_ba(self, pack, lpack, res, center_kf, ride=False):
         self.map.apply_ba_result(pack, res)
-        # Current pose rides with the reference KF.
-        self.R = self.map.kf_R[center_kf].copy()
-        self.t = self.map.kf_t[center_kf].copy()
+        if lpack is not None:
+            self.map.apply_line_ba_result(
+                lpack, np.asarray(res.line_U), np.asarray(res.line_w),
+                np.asarray(res.lobs_inlier),
+            )
+        if ride:
+            # Current pose rides with the reference KF.
+            self.R = self.map.kf_R[center_kf].copy()
+            self.t = self.map.kf_t[center_kf].copy()
 
     def flush_pending_ba(self):
         """Apply a deferred BA result (no-op if none pending)."""
         pending = getattr(self, "_pending_ba", None)
         if pending is None:
             return
-        pack, res, center_kf = pending
+        pack, lpack, res, center_kf = pending
         self._pending_ba = None
-        self.map.apply_ba_result(pack, res)
+        self._apply_ba(pack, lpack, res, center_kf, ride=False)

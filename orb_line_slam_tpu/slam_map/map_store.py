@@ -427,6 +427,77 @@ class MapStore:
             "n_obs": n_obs,
         }
 
+    def pack_line_obs(self, cam_ids, max_lines: int, max_lobs: int):
+        """Line observations of the given keyframes, for the joint
+        point+line bundle adjuster (indices local to cam_ids order)."""
+        if not self.Lf:
+            return None
+        ln_set = []
+        for k in cam_ids:
+            o = self.kf_ln_obs[k]
+            ln_set.append(o[o >= 0])
+        ln_set = np.unique(np.concatenate(ln_set)) if ln_set else np.zeros(0, np.int64)
+        ln_set = ln_set[self.ln_valid[ln_set]][:max_lines]
+        if len(ln_set) == 0:
+            return None
+        lookup = np.full(self.L, -1, np.int32)
+        lookup[ln_set] = np.arange(len(ln_set), dtype=np.int32)
+
+        lc, ll, la, lb, lkf, lslot = [], [], [], [], [], []
+        for ci, k in enumerate(cam_ids):
+            obs = self.kf_ln_obs[k]
+            sel = np.nonzero((obs >= 0) & (lookup[np.clip(obs, 0, self.L - 1)] >= 0))[0]
+            for s in sel:
+                lc.append(ci)
+                ll.append(lookup[obs[s]])
+                la.append(self.kf_ln_p0[k, s])
+                lb.append(self.kf_ln_p1[k, s])
+                lkf.append(k)
+                lslot.append(s)
+        n = min(len(lc), max_lobs)
+        out = {
+            "ln_ids": ln_set.astype(np.int32),
+            "lobs_cam": np.zeros(max_lobs, np.int32),
+            "lobs_ln": np.zeros(max_lobs, np.int32),
+            "lobs_a": np.zeros((max_lobs, 2), np.float32),
+            "lobs_b": np.zeros((max_lobs, 2), np.float32),
+            "lobs_valid": np.zeros(max_lobs, bool),
+            "lobs_kf": np.zeros(max_lobs, np.int32),
+            "lobs_slot": np.zeros(max_lobs, np.int32),
+            "n_lobs": n,
+        }
+        if n:
+            out["lobs_cam"][:n] = lc[:n]
+            out["lobs_ln"][:n] = ll[:n]
+            out["lobs_a"][:n] = np.asarray(la[:n], np.float32)
+            out["lobs_b"][:n] = np.asarray(lb[:n], np.float32)
+            out["lobs_valid"][:n] = True
+            out["lobs_kf"][:n] = lkf[:n]
+            out["lobs_slot"][:n] = lslot[:n]
+        return out
+
+    def apply_line_ba_result(self, lpack, line_U, line_w, lobs_inlier):
+        """Write back optimized 3D lines (endpoints re-anchored by
+        closest-point projection onto the optimized infinite line)."""
+        import jax.numpy as jnp
+
+        from ..geometry.lines3d import (
+            closest_points_on_line,
+            pluecker_from_orthonormal,
+        )
+
+        ids = lpack["ln_ids"]
+        n, v = pluecker_from_orthonormal(
+            jnp.asarray(line_U[: len(ids)]), jnp.asarray(line_w[: len(ids)])
+        )
+        s_new = closest_points_on_line(n, v, jnp.asarray(self.ln_start[ids]))
+        e_new = closest_points_on_line(n, v, jnp.asarray(self.ln_end[ids]))
+        self.ln_start[ids] = np.asarray(s_new)
+        self.ln_end[ids] = np.asarray(e_new)
+        inl = np.asarray(lobs_inlier)
+        for o in np.nonzero(~inl[: lpack["n_lobs"]] & lpack["lobs_valid"][: lpack["n_lobs"]])[0]:
+            self.kf_ln_obs[lpack["lobs_kf"][o], lpack["lobs_slot"][o]] = -1
+
     def apply_ba_result(self, pack, result):
         """Write back optimized poses/points; erase outlier observations."""
         cams = pack["cam_ids"]
