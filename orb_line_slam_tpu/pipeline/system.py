@@ -54,6 +54,12 @@ class System:
         """Feed a rectified stereo pair; returns the 4x4 Tcw pose."""
         return self.tracker.process_stereo(img_left, img_right, timestamp)
 
+    def track_monocular(self, img, timestamp: float = 0.0) -> np.ndarray:
+        """Feed a single grayscale image; returns the 4x4 Tcw pose
+        (identity until monocular initialization succeeds).  Mirrors
+        the reference's System::TrackMonocular."""
+        return self.tracker.process_mono(img, timestamp)
+
     def track_rgbd(self, img, depth, timestamp: float = 0.0) -> np.ndarray:
         import jax.numpy as jnp
 

@@ -563,9 +563,11 @@ class Tracker:
         # created: insert when tracking quality decays below the ratio
         # (the reference compares against the ref KF's tracked map
         # points) or close points starve.
-        # Absolute floor: refresh the map before tracking approaches the
-        # LOST boundary regardless of relative decay.
-        weak = n_inliers < 50
+        # Absolute floor (stereo/RGB-D only): refresh the map before
+        # tracking approaches the LOST boundary regardless of relative
+        # decay.  Mono is excluded: forcing adjacent-frame KFs there
+        # triangulates at near-zero baseline and corrupts the map.
+        weak = (not is_mono) and n_inliers < 50
         c2 = n_inliers < self.ref_kf_matches * ref_ratio or need_close or weak
         c_min = self.frames_since_kf >= (1 if is_mono else 2) or need_close or weak
         return (c1 or (c2 and c_min)) and n_inliers > 15
