@@ -89,6 +89,8 @@ class SlamConfig:
     map: MapConfig = MapConfig()
     fps: float = 10.0
     rgb: bool = False
+    # TUM-style uint16 depth PNG scale (depth_m = raw / factor).
+    depth_map_factor: float = 5000.0
     # EuRoC-style rectification (None for pre-rectified datasets).
     rectify: Optional[dict] = None
 
@@ -174,5 +176,6 @@ def load_settings(path: str | Path) -> SlamConfig:
         tracking=tracking,
         fps=fps,
         rgb=bool(get("Camera.RGB", 0)),
+        depth_map_factor=float(get("DepthMapFactor", 5000.0)),
         rectify=rectify,
     )

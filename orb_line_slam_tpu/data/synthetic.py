@@ -84,7 +84,14 @@ class SyntheticScene:
         right = self._render_view(R_cw, t_cw, self.cam.baseline)
         return left, right
 
-    def _render_view(self, R_cw, t_cw, baseline_shift):
+    def render_rgbd(self, R_cw: np.ndarray, t_cw: np.ndarray):
+        """Left view + registered depth map in meters (0 = no return),
+        as a TUM-style RGB-D sensor would deliver."""
+        depth = np.zeros((self.cam.height, self.cam.width), np.float32)
+        img = self._render_view(R_cw, t_cw, 0.0, depth_out=depth)
+        return img, depth
+
+    def _render_view(self, R_cw, t_cw, baseline_shift, depth_out=None):
         import cv2
 
         cam = self.cam
@@ -140,6 +147,11 @@ class SyntheticScene:
             mask = warped >= 0
             roi = img[cy0:cy1, cx0:cx1]
             roi[mask] = warped[mask].astype(np.uint8)
+            if depth_out is not None:
+                # Billboards are fronto-parallel: constant depth across
+                # the patch footprint.
+                droi = depth_out[cy0:cy1, cx0:cx1]
+                droi[mask] = z[i]
 
         if self.lines is not None:
             for seg in self.lines:
