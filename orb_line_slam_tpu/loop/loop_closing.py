@@ -323,28 +323,56 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def run_global_ba(self, iters1: int = 5, iters2: int = 10):
-        """Full-map bundle adjustment (GlobalBundleAdjustemnt analog)."""
+        """Full-map bundle adjustment (GlobalBundleAdjustemnt analog).
+
+        Small maps use the dense-block Schur kernel; past the point
+        where its B [P,C,6,3] coupling tensor gets expensive (~128 MB)
+        it switches to matrix-free CG on the Schur complement
+        (backend/global_ba.py), so the full map is optimized with no
+        landmark/observation truncation."""
         store = self.map
         Kn = store._next_kf
         ids = np.nonzero(store.kf_valid[:Kn])[0]
         if len(ids) < 2:
             return
         mc = self.cfg.map
+        n_cams = min(len(ids) + 4, mc.max_keyframes)
+        n_pts = int(store.pt_valid.sum()) + 64
+        # Round capacities up to multiples (stable jit cache keys).
+        n_pts = min(mc.max_points, -(-n_pts // 2048) * 2048)
+        n_obs = min(len(ids) * 1024, n_cams * 2048)
+        dense_bytes = n_cams * n_pts * 18 * 4
+        use_cg = dense_bytes > 128 * 1024 * 1024
+        if not use_cg:
+            # Dense path keeps its proven small-problem shapes.
+            n_pts = min(n_pts, 16384)
+            n_obs = min(n_obs, 65536)
         pack = store.pack_local_ba(
             int(ids[-1]),
-            max_cams=min(len(ids) + 4, mc.max_keyframes),
-            max_points=mc.max_points if mc.max_points <= 16384 else 16384,
-            max_obs=min(len(ids) * 512, 65536),
+            max_cams=n_cams,
+            max_points=n_pts,
+            max_obs=n_obs,
             all_free=True,
         )
-        res = bundle_adjust(
+        args = (
             jnp.asarray(pack["R"]), jnp.asarray(pack["t"]),
             jnp.asarray(pack["cam_fixed"]),
             jnp.asarray(pack["points"]), jnp.asarray(pack["point_valid"]),
             jnp.asarray(pack["obs_cam"]), jnp.asarray(pack["obs_lm"]),
             jnp.asarray(pack["obs_uvur"]), jnp.asarray(pack["obs_oct"]),
             jnp.asarray(pack["obs_valid"]), self.cfg.camera,
-            self.cfg.orb.scale_factor, iters1=iters1, iters2=iters2,
-            fix_first=True,
         )
+        if use_cg:
+            from ..backend.global_ba import bundle_adjust_cg
+
+            res = bundle_adjust_cg(
+                *args, self.cfg.orb.scale_factor,
+                iters1=iters1, iters2=iters2, fix_first=True,
+                cg_iters=min(6 * n_cams, 64),
+            )
+        else:
+            res = bundle_adjust(
+                *args, self.cfg.orb.scale_factor,
+                iters1=iters1, iters2=iters2, fix_first=True,
+            )
         store.apply_ba_result(pack, res)
