@@ -10,9 +10,17 @@ i7 — SURVEY.md §6 planning figures; BASELINE.json has no published
 numbers and the reference mount was empty)."""
 
 import json
+import os
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache: TPU compiles through the tunnel run
+# 20-40 s per program; repeated bench/example runs hit this cache.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(__file__), ".jax_cache")
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_FPS = 30.0
 
@@ -70,6 +78,12 @@ def main():
     # landmarks, 16k observations — a KITTI-scale local window).
     ba_ms = _bench_local_ba(jax, jnp, cam)
 
+    # Tertiary: FULL tracking pipeline (BASELINE.json config #1 shape:
+    # stereo point-only tracking + motion-only BA + keyframe local BA)
+    # over a synthetic KITTI-sized sequence.  Includes ALL host
+    # bookkeeping and device round-trips — the honest end-to-end number.
+    pipe_fps = _bench_pipeline(cam)
+
     print(
         json.dumps(
             {
@@ -77,7 +91,11 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
-                "extra": {"local_ba_iter_ms": round(ba_ms, 2)},
+                "extra": {
+                    "local_ba_iter_ms": round(ba_ms, 2),
+                    "full_pipeline_fps": round(pipe_fps, 2),
+                    "full_pipeline_vs_baseline": round(pipe_fps / BASELINE_FPS, 3),
+                },
             }
         )
     )
@@ -125,6 +143,32 @@ def _bench_local_ba(jax, jnp, cam):
     run()
     run()
     return (time.perf_counter() - t0) / 2 / n_iters * 1000.0
+
+
+def _bench_pipeline(cam, n_frames: int = 60, warmup: int = 12):
+    """End-to-end tracker fps on a synthetic KITTI-sized stereo
+    sequence (pre-rendered on host, as the examples' imread is outside
+    the reference's timed region too)."""
+    import time
+
+    from orb_line_slam_tpu.config import OrbConfig, SlamConfig
+    from orb_line_slam_tpu.data.synthetic import SyntheticScene, circular_trajectory
+    from orb_line_slam_tpu.pipeline.tracking import Tracker
+
+    cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=2000, n_levels=8))
+    scene = SyntheticScene(cam, n_points=700, seed=3)
+    poses = circular_trajectory(n_frames, step=0.25)
+    frames = [scene.render_stereo(R, t) for R, t in poses]
+
+    tracker = Tracker(cfg)
+    tracker.async_mapping = True
+    for i in range(warmup):
+        tracker.process_stereo(*frames[i], timestamp=0.1 * i)
+    t0 = time.perf_counter()
+    for i in range(warmup, n_frames):
+        tracker.process_stereo(*frames[i], timestamp=0.1 * i)
+    dt = time.perf_counter() - t0
+    return (n_frames - warmup) / dt
 
 
 if __name__ == "__main__":

@@ -10,6 +10,14 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
+# Persistent XLA compilation cache (TPU compiles through the tunnel are
+# 20-40 s per program; repeated runs hit the cache).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path(__file__).resolve().parents[1] / ".jax_cache"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 if os.environ.get("JAX_PLATFORMS"):
     # The axon TPU plugin ignores the env var; enforce it via config.
     import jax

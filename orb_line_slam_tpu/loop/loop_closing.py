@@ -21,8 +21,15 @@ from ..backend.local_ba import bundle_adjust
 from ..backend.pose_graph import optimize_pose_graph
 from ..backend.sim3_solver import solve_sim3_ransac
 from ..config import SlamConfig
-from ..geometry.se3 import se3_apply, se3_compose, se3_inverse
-from ..geometry.sim3 import sim3_apply, sim3_compose, sim3_inverse
+from ..geometry.host import (
+    nse3_apply,
+    nse3_compose,
+    nse3_inverse,
+    nse3_relative,
+    nsim3_apply,
+    nsim3_compose,
+    nsim3_inverse,
+)
 from ..matching.point_matcher import match_descriptors
 from ..slam_map.keyframe_db import KeyFrameDatabase
 from ..slam_map.map_store import MapStore
@@ -48,6 +55,16 @@ class LoopCloser:
         self.loop_edges: list[LoopEdge] = []
         self.last_loop_kf = -1
         self.covis_cache = None
+        # Asynchronous global BA (the reference's detached
+        # RunGlobalBundleAdjustment thread + mbStopGBA interruption —
+        # SURVEY.md §3.4): when gba_async is set, CorrectLoop dispatches
+        # the jitted solve and returns; the result is applied at a later
+        # poll_global_ba(), with spanning-chain propagation to keyframes
+        # and landmarks created while the solve was in flight.  A new
+        # loop closure while one is pending discards the stale solve
+        # (map-version interruption instead of a stop flag).
+        self.gba_async = False
+        self._pending_gba = None
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf_id: int, run_gba: bool = True) -> bool:
@@ -142,13 +159,11 @@ class LoopCloser:
         if len(rows) < 20:
             return False, None
 
-        # 3D points in each camera frame.
-        p_w1 = store.pt_pos[lm1]
-        p_w2 = store.pt_pos[lm2]
+        # 3D points in each camera frame (host math).
         R1, t1 = store.kf_R[kf_id], store.kf_t[kf_id]
         R2, t2 = store.kf_R[cand], store.kf_t[cand]
-        p1 = np.asarray(se3_apply(jnp.asarray(R1), jnp.asarray(t1), jnp.asarray(p_w1)))
-        p2 = np.asarray(se3_apply(jnp.asarray(R2), jnp.asarray(t2), jnp.asarray(p_w2)))
+        p1 = nse3_apply(R1, t1, store.pt_pos[lm1])
+        p2 = nse3_apply(R2, t2, store.pt_pos[lm2])
 
         N = 256
         pts1 = np.zeros((N, 3), np.float32)
@@ -159,15 +174,17 @@ class LoopCloser:
         pts2[:n] = p2[:n]
         valid[:n] = True
 
-        s, R, t, inl, count = solve_sim3_ransac(
-            jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(valid),
-            jax.random.PRNGKey(kf_id), self.cfg.camera, self.cfg.camera,
-            jnp.ones(N), jnp.ones(N), fix_scale=True, n_hyps=256,
+        s, R, t, inl, count = jax.device_get(
+            solve_sim3_ransac(
+                jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(valid),
+                jax.random.PRNGKey(kf_id), self.cfg.camera, self.cfg.camera,
+                jnp.ones(N), jnp.ones(N), fix_scale=True, n_hyps=256,
+            )
         )
         if int(count) < 20:
             return False, None
         # T_cur<-cand as Sim3 in camera frames: x_cur = s R x_cand + t
-        return True, (float(s), np.asarray(R), np.asarray(t))
+        return True, (float(s), R, t)
 
     # ------------------------------------------------------------------
     def _correct(self, kf_id, cand, sim, run_gba=True):
@@ -176,52 +193,50 @@ class LoopCloser:
         store = self.map
         s_lc, R_lc, t_lc = sim  # T_cur<-cand (camera frames)
 
-        # Corrected pose of current KF: Tcw_corr = T_cur<-cand * Tcand_w
+        # Corrected pose of current KF: Scw_corr = S_cur<-cand ∘ Tcand_w
         Rc, tc = store.kf_R[cand], store.kf_t[cand]
-        s_corr, R_corr, t_corr = sim3_compose(
-            jnp.asarray(s_lc), jnp.asarray(R_lc), jnp.asarray(t_lc),
-            jnp.asarray(1.0), jnp.asarray(Rc), jnp.asarray(tc),
-        )
+        s_corr, R_corr, t_corr = nsim3_compose(s_lc, R_lc, t_lc, 1.0, Rc, tc)
 
-        # Correction to apply to current-group world poses: the current
-        # KF moves from its drifted Tcw to the corrected one; propagate
-        # the same world-side correction T_w_corr = Tcw_old^-1 ∘ S_corr
-        # to covisible KFs and their landmarks.
-        R_old, t_old = store.kf_R[kf_id], store.kf_t[kf_id]
-        s_delta, R_delta, t_delta = sim3_compose(
-            *sim3_inverse(jnp.asarray(1.0), jnp.asarray(R_old), jnp.asarray(t_old)),
-            s_corr, R_corr, t_corr,
-        )  # maps old-camera coords... we need world-side: see below
-
-        # world correction: x_w_new = T_old^-1 ∘ S_corr applied in
-        # reverse — transform landmark positions of the current group:
-        # x_cam = T_old x_w ; x_w_new = S_corr^-1 x_cam
+        # World-side correction for the current covisible group: the
+        # current KF moves from its drifted Tcw to the corrected Sim3;
+        # x_cam = T_old x_w ; x_w_new = S_corr^-1 x_cam  (all host math —
+        # this loop used to dispatch one device op per landmark).
+        R_old, t_old = store.kf_R[kf_id].copy(), store.kf_t[kf_id].copy()
         group = self._covisible_set(kf_id, min_w=10) | {kf_id}
-        s_ci, R_ci, t_ci = sim3_inverse(s_corr, R_corr, t_corr)
+        s_ci, R_ci, t_ci = nsim3_inverse(s_corr, R_corr, t_corr)
 
-        lm_done = set()
-        for k in group:
-            lm = store.kf_obs_lm[k]
-            lm = lm[lm >= 0]
-            for i in lm:
-                if int(i) in lm_done or not store.pt_valid[i]:
-                    continue
-                lm_done.add(int(i))
-                x_cam = se3_apply(
-                    jnp.asarray(R_old), jnp.asarray(t_old),
-                    jnp.asarray(store.pt_pos[i]),
-                )
-                x_new = sim3_apply(s_ci, R_ci, t_ci, x_cam)
-                store.pt_pos[i] = np.asarray(x_new)
-            # pose: Tkw_new = Tk_old ∘ T_old^-1 ∘ S_corr
-            Rk, tk = store.kf_R[k], store.kf_t[k]
-            Roi, toi = se3_inverse(jnp.asarray(R_old), jnp.asarray(t_old))
-            Rrel, trel = se3_compose(jnp.asarray(Rk), jnp.asarray(tk), Roi, toi)
-            sk, Rk2, tk2 = sim3_compose(
-                jnp.asarray(1.0), Rrel, trel, s_corr, R_corr, t_corr
+        lm_ids = np.unique(
+            np.concatenate(
+                [store.kf_obs_lm[k][store.kf_obs_lm[k] >= 0] for k in group]
+            ).astype(np.int64)
+        ) if group else np.array([], np.int64)
+        lm_ids = lm_ids[store.pt_valid[lm_ids]] if len(lm_ids) else lm_ids
+        if len(lm_ids):
+            x_cam = nse3_apply(R_old, t_old, store.pt_pos[lm_ids])
+            store.pt_pos[lm_ids] = nsim3_apply(s_ci, R_ci, t_ci, x_cam)
+        # Line landmarks of the group move with the same correction.
+        kf_ln_obs = getattr(store, "kf_ln_obs", None)
+        if kf_ln_obs is not None:
+            ln_ids = np.unique(
+                np.concatenate(
+                    [kf_ln_obs[k][kf_ln_obs[k] >= 0] for k in group]
+                ).astype(np.int64)
             )
-            store.kf_R[k] = np.asarray(Rk2)
-            store.kf_t[k] = np.asarray(tk2 / sk)  # renormalize scale into t
+            ln_ids = ln_ids[store.ln_valid[ln_ids]] if len(ln_ids) else ln_ids
+            for attr in ("ln_start", "ln_end"):
+                if not len(ln_ids):
+                    break
+                arr = getattr(store, attr)
+                arr[ln_ids] = nsim3_apply(
+                    s_ci, R_ci, t_ci, nse3_apply(R_old, t_old, arr[ln_ids])
+                )
+        # poses: Tkw_new = Tk_old ∘ T_old^-1 ∘ S_corr
+        Roi, toi = nse3_inverse(R_old, t_old)
+        for k in group:
+            Rrel, trel = nse3_compose(store.kf_R[k], store.kf_t[k], Roi, toi)
+            sk, Rk2, tk2 = nsim3_compose(1.0, Rrel, trel, s_corr, R_corr, t_corr)
+            store.kf_R[k] = Rk2
+            store.kf_t[k] = tk2 / sk  # renormalize scale into t
 
         # Record the loop edge (measurement = corrected relative pose).
         self.loop_edges.append(
@@ -232,7 +247,13 @@ class LoopCloser:
         self._optimize_essential_graph(kf_id, cand)
 
         if run_gba:
-            self.run_global_ba()
+            if self.gba_async:
+                # A newer loop supersedes any in-flight global BA
+                # (mbStopGBA): the stale solve is simply never applied.
+                self._pending_gba = None
+                self.dispatch_global_ba()
+            else:
+                self.run_global_ba()
 
     # ------------------------------------------------------------------
     def _optimize_essential_graph(self, cur_kf, loop_kf):
@@ -277,12 +298,11 @@ class LoopCloser:
                 et[n] = le.t
                 es[n] = le.s
                 continue
-            Ra, ta = store.kf_R[a], store.kf_t[a]
-            Rb, tb = store.kf_R[b], store.kf_t[b]
-            Rai, tai = se3_inverse(jnp.asarray(Ra), jnp.asarray(ta))
-            Rm, tm = se3_compose(jnp.asarray(Rb), jnp.asarray(tb), Rai, tai)
-            eR[n] = np.asarray(Rm)
-            et[n] = np.asarray(tm)
+            Rm, tm = nse3_relative(
+                store.kf_R[b], store.kf_t[b], store.kf_R[a], store.kf_t[a]
+            )
+            eR[n] = Rm
+            et[n] = tm
 
         Kpad = Kn
         s0 = np.ones(Kpad, np.float32)
@@ -292,38 +312,141 @@ class LoopCloser:
         old_R = store.kf_R[:Kpad].copy()
         old_t = store.kf_t[:Kpad].copy()
 
-        s, R, t = optimize_pose_graph(
-            jnp.asarray(s0), jnp.asarray(store.kf_R[:Kpad]),
-            jnp.asarray(store.kf_t[:Kpad]),
-            jnp.asarray(valid), jnp.asarray(fixed),
-            jnp.asarray(np.array(edges_i, np.int32)),
-            jnp.asarray(np.array(edges_j, np.int32)),
-            jnp.asarray(es), jnp.asarray(eR), jnp.asarray(et),
-            jnp.ones(E, bool), jnp.asarray(np.array(ew, np.float32)),
-            n_iters=20,
+        s, R, t = jax.device_get(
+            optimize_pose_graph(
+                jnp.asarray(s0), jnp.asarray(store.kf_R[:Kpad]),
+                jnp.asarray(store.kf_t[:Kpad]),
+                jnp.asarray(valid), jnp.asarray(fixed),
+                jnp.asarray(np.array(edges_i, np.int32)),
+                jnp.asarray(np.array(edges_j, np.int32)),
+                jnp.asarray(es), jnp.asarray(eR), jnp.asarray(et),
+                jnp.ones(E, bool), jnp.asarray(np.array(ew, np.float32)),
+                n_iters=20,
+            )
         )
-        s, R, t = np.asarray(s), np.asarray(R), np.asarray(t)
 
         # Correct landmarks via their reference keyframe's motion
-        # (landmark correction step of CorrectLoop/OptimizeEssentialGraph).
-        counts = store.obs_counts()
-        for i in np.nonzero(store.pt_valid)[0]:
-            k = store.pt_first_kf[i]
-            if k < 0 or k >= Kpad or not valid[k]:
-                continue
-            x_cam = se3_apply(
-                jnp.asarray(old_R[k]), jnp.asarray(old_t[k]),
-                jnp.asarray(store.pt_pos[i]),
-            )
-            Rwi, twi = se3_inverse(jnp.asarray(R[k]), jnp.asarray(t[k] / s[k]))
-            store.pt_pos[i] = np.asarray(se3_apply(Rwi, twi, x_cam))
+        # (landmark correction step of CorrectLoop/OptimizeEssentialGraph),
+        # vectorized per first-keyframe group on host.
+        pt_ids = np.nonzero(store.pt_valid)[0]
+        fk = store.pt_first_kf[pt_ids]
+        ok = (fk >= 0) & (fk < Kpad) & valid[np.clip(fk, 0, Kpad - 1)]
+        pt_ids, fk = pt_ids[ok], fk[ok]
+        for k in np.unique(fk):
+            ids = pt_ids[fk == k]
+            x_cam = nse3_apply(old_R[k], old_t[k], store.pt_pos[ids])
+            t_new = t[k] / s[k]
+            store.pt_pos[ids] = ((x_cam - t_new) @ R[k]).astype(np.float32)
+        # Line endpoints ride their first keyframe's motion likewise.
+        ln_ids = np.nonzero(store.ln_valid)[0]
+        lfk = store.ln_first_kf[ln_ids]
+        ok = (lfk >= 0) & (lfk < Kpad) & valid[np.clip(lfk, 0, Kpad - 1)]
+        ln_ids, lfk = ln_ids[ok], lfk[ok]
+        for k in np.unique(lfk):
+            ids = ln_ids[lfk == k]
+            t_new = t[k] / s[k]
+            for attr in ("ln_start", "ln_end"):
+                arr = getattr(store, attr)
+                x_cam = nse3_apply(old_R[k], old_t[k], arr[ids])
+                arr[ids] = ((x_cam - t_new) @ R[k]).astype(np.float32)
 
         store.kf_R[:Kpad] = R
         store.kf_t[:Kpad] = t / s[:, None]
 
     # ------------------------------------------------------------------
     def run_global_ba(self, iters1: int = 5, iters2: int = 10):
-        """Full-map bundle adjustment (GlobalBundleAdjustemnt analog).
+        """Full-map bundle adjustment, synchronous (GlobalBundleAdjustemnt
+        analog).  See dispatch_global_ba for the asynchronous variant."""
+        out = self._dispatch_gba(iters1, iters2)
+        if out is None:
+            return
+        pack, res = out
+        self._apply_gba(pack, res, snap_kf=self.map._next_kf)
+
+    def dispatch_global_ba(self, iters1: int = 5, iters2: int = 10):
+        """Dispatch global BA without blocking (JAX async dispatch runs
+        the solve on-device while tracking continues); apply later via
+        poll_global_ba()."""
+        out = self._dispatch_gba(iters1, iters2)
+        if out is None:
+            return
+        pack, res = out
+        self._pending_gba = (pack, res, self.map._next_kf)
+
+    def poll_global_ba(self, force: bool = False) -> bool:
+        """Apply a pending global-BA result if it has finished on device
+        (or unconditionally with force=True).  Returns True if applied."""
+        if self._pending_gba is None:
+            return False
+        pack, res, snap_kf = self._pending_gba
+        if not force:
+            ready = getattr(res.R, "is_ready", None)
+            if ready is not None and not ready():
+                return False
+        self._pending_gba = None
+        self._apply_gba(pack, res, snap_kf)
+        return True
+
+    def _apply_gba(self, pack, res, snap_kf: int):
+        """Write back the GBA solution; keyframes/landmarks created
+        after the snapshot (while the solve was in flight) are corrected
+        through the spanning chain / their reference keyframe's motion —
+        the reference's post-GBA propagation in
+        RunGlobalBundleAdjustment (SURVEY.md §3.4)."""
+        store = self.map
+        Kn = store._next_kf
+        old_R = store.kf_R[:Kn].copy()
+        old_t = store.kf_t[:Kn].copy()
+        store.apply_ba_result(pack, res)
+        # Keyframes created during the solve: T_k_new = (T_k_old ∘
+        # T_p_old^-1) ∘ T_p_new with p the nearest earlier live KF.
+        for k in range(snap_kf, Kn):
+            if not store.kf_valid[k]:
+                continue
+            p = k - 1
+            while p >= 0 and not store.kf_valid[p]:
+                p -= 1
+            if p < 0:
+                continue
+            R_rel = old_R[k] @ old_R[p].T
+            t_rel = old_t[k] - R_rel @ old_t[p]
+            store.kf_R[k] = (R_rel @ store.kf_R[p]).astype(np.float32)
+            store.kf_t[k] = (R_rel @ store.kf_t[p] + t_rel).astype(np.float32)
+        # Landmarks outside the solved problem ride their first KF.
+        in_pack = np.zeros(store.P, bool)
+        in_pack[pack["lm_ids"]] = True
+        self._ride_first_kf(old_R, old_t, Kn, skip_points=in_pack)
+
+    def _ride_first_kf(self, old_R, old_t, Kn, skip_points=None):
+        """Re-anchor landmarks to their first keyframe's corrected pose:
+        x_new = T_fk_new^-1 (T_fk_old x_old).  Applied to points (unless
+        masked) and to ALL line endpoints (lines are not variables in
+        the point-only global problems)."""
+        store = self.map
+        for i in np.nonzero(store.pt_valid)[0]:
+            if skip_points is not None and skip_points[i]:
+                continue
+            fk = store.pt_first_kf[i]
+            if fk < 0 or fk >= Kn or not store.kf_valid[fk]:
+                continue
+            x_cam = old_R[fk] @ store.pt_pos[i] + old_t[fk]
+            store.pt_pos[i] = (
+                store.kf_R[fk].T @ (x_cam - store.kf_t[fk])
+            ).astype(np.float32)
+        for i in np.nonzero(store.ln_valid)[0]:
+            fk = store.ln_first_kf[i]
+            if fk < 0 or fk >= Kn or not store.kf_valid[fk]:
+                continue
+            for attr in ("ln_start", "ln_end"):
+                arr = getattr(store, attr)
+                x_cam = old_R[fk] @ arr[i] + old_t[fk]
+                arr[i] = (
+                    store.kf_R[fk].T @ (x_cam - store.kf_t[fk])
+                ).astype(np.float32)
+
+    def _dispatch_gba(self, iters1: int = 5, iters2: int = 10):
+        """Build + dispatch the full-map BA problem; returns (pack, res)
+        with res still in flight (JAX async dispatch).
 
         Small maps use the dense-block Schur kernel; past the point
         where its B [P,C,6,3] coupling tensor gets expensive (~128 MB)
@@ -375,4 +498,4 @@ class LoopCloser:
                 *args, self.cfg.orb.scale_factor,
                 iters1=iters1, iters2=iters2, fix_first=True,
             )
-        store.apply_ba_result(pack, res)
+        return pack, res

@@ -47,6 +47,10 @@ class System:
         self.loop_closer: Optional[LoopCloser] = None
         self.localization_only = False
         self.n_loops_closed = 0
+        # Global BA runs asynchronously by default: dispatched at loop
+        # closure, applied when the device solve finishes (checked per
+        # keyframe) — the reference's detached GBA thread.
+        self.gba_async = True
         self.tracker.on_keyframe = self._on_keyframe
 
     # ------------------------------------------------------------------
@@ -84,7 +88,11 @@ class System:
             self.voc = Vocabulary.train(descs, k=8, depth=3, seed=0)
         if self.loop_closer is None:
             self.loop_closer = LoopCloser(self.cfg, self.tracker.map, self.voc)
+            self.loop_closer.gba_async = self.gba_async
             self.tracker.reloc_candidates_fn = self._reloc_candidates
+        # Apply a finished in-flight global BA before touching the map
+        # (the reference applies GBA results between keyframes too).
+        self.loop_closer.poll_global_ba()
         closed = self.loop_closer.process_keyframe(kf_id)
         if closed:
             self.n_loops_closed += 1
@@ -117,13 +125,19 @@ class System:
         self.loop_closer = None
 
     def shutdown(self):
-        pass  # nothing asynchronous to join in this design
+        """Join outstanding asynchronous work (deferred local BA,
+        in-flight global BA) — the reference's thread-join shutdown."""
+        self.tracker.flush_pending_ba()
+        if self.loop_closer is not None:
+            self.loop_closer.poll_global_ba(force=True)
 
     # ------------------------------------------------------------------
     def save_trajectory_kitti(self, path):
+        self.shutdown()
         save_trajectory_kitti(path, self.tracker.final_trajectory())
 
     def save_trajectory_tum(self, path):
+        self.shutdown()
         save_trajectory_tum(path, self.tracker.final_trajectory())
 
     def save_keyframe_trajectory_tum(self, path):

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,8 +25,13 @@ from ..backend.pose_opt import pose_optimize
 from ..backend.local_ba import bundle_adjust
 from ..config import SlamConfig
 from ..frontend.frame import Frame, build_stereo_frame
-from ..geometry.camera import backproject
-from ..geometry.se3 import se3_apply, se3_compose, se3_inverse
+from ..geometry.host import (
+    nbackproject,
+    nse3_apply,
+    nse3_compose,
+    nse3_inverse,
+    nse3_relative,
+)
 from ..matching.point_matcher import (
     match_descriptors,
     resolve_duplicates,
@@ -98,61 +104,59 @@ class Tracker:
         self.frame_id += 1
         frame = build_mono_frame(jnp.asarray(img), self.cfg)
         if self.state == "NOT_INITIALIZED":
+            self.cur_fh = jax.device_get(frame)
             self._try_mono_initialize(frame, timestamp)
             self._record(timestamp, lost=(self.state != "OK"))
             return self.current_pose()
         return self._track(frame, timestamp)
 
     def _try_mono_initialize(self, frame: Frame, timestamp):
-        import jax
-
         from ..frontend.initializer import initialize_two_view
 
         if getattr(self, "_init_ref", None) is None:
-            if int(np.asarray(frame.valid).sum()) >= 100:
-                self._init_ref = (frame, timestamp, self.frame_id)
+            if int(self.cur_fh.valid.sum()) >= 100:
+                self._init_ref = (frame, self.cur_fh, timestamp, self.frame_id)
             return
-        ref, ref_ts, ref_id = self._init_ref
+        ref, refh, ref_ts, ref_id = self._init_ref
+        fh = self.cur_fh
         from ..matching.point_matcher import match_in_window
 
         m = match_in_window(ref, frame, radius=100.0, max_dist=50, ratio=0.9)
-        mask = np.asarray(m.mask)
+        mask, idx = jax.device_get((m.mask, m.idx))
         # Minimum match support scales with the feature budget (the
         # reference's 100 assumes 2000+ features); below it, slide the
         # reference frame forward.
         min_matches = max(70, self.cfg.orb.n_features // 25)
         if mask.sum() < min_matches:
-            self._init_ref = (frame, timestamp, self.frame_id)  # reset ref
+            self._init_ref = (frame, fh, timestamp, self.frame_id)  # reset ref
             return
-        idx = np.asarray(m.idx)
-        p1 = np.asarray(ref.xy)
-        p2 = np.asarray(frame.xy)[np.where(idx >= 0, idx, 0)]
+        p1 = refh.xy
+        p2 = fh.xy[np.where(idx >= 0, idx, 0)]
         res = initialize_two_view(
             jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(mask),
             jax.random.PRNGKey(self.frame_id), self.cfg.camera,
         )
-        if not bool(res.success):
+        success, inl, pts, R2, t2 = jax.device_get(
+            (res.success, res.inliers, res.points3d, res.R, res.t)
+        )
+        if not bool(success):
             return
-        inl = np.asarray(res.inliers)
-        pts = np.asarray(res.points3d)
         # Normalize scale: median depth -> 1 (the reference's
         # CreateInitialMapMonocular inverse-median-depth scaling).
         med = np.median(pts[inl, 2])
         if med <= 0:
             return
         pts = pts / med
-        R2 = np.asarray(res.R)
-        t2 = np.asarray(res.t) / med
+        t2 = t2 / med
 
         kf0 = self.map.add_keyframe(
-            ref, np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+            refh, np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
             ref_id, ref_ts,
         )
-        kf1 = self.map.add_keyframe(frame, R2, t2, self.frame_id, timestamp)
+        kf1 = self.map.add_keyframe(fh, R2, t2, self.frame_id, timestamp)
         rows = np.nonzero(inl)[0]
         ids = self.map.add_points(
-            pts[rows], np.asarray(ref.desc)[rows],
-            np.asarray(ref.octave)[rows], kf0, rows,
+            pts[rows], refh.desc[rows], refh.octave[rows], kf0, rows,
         )
         self.map.kf_obs_lm[kf1, idx[rows[: len(ids)]]] = ids
         self.map.update_point_stats(ids)
@@ -163,6 +167,7 @@ class Tracker:
         self.ref_kf_matches = max(len(ids), 40)
         self.state = "OK"
         self.last_frame = frame
+        self.last_fh = fh
         assoc = np.full(frame.n, -1, np.int32)
         assoc[idx[rows[: len(ids)]]] = ids
         self.last_assoc = assoc
@@ -179,10 +184,15 @@ class Tracker:
     def _track(self, frame: Frame, timestamp: float):
         cfg = self.cfg
         n_inliers = 0
+        # ONE host mirror of the frame arrays (single batched device
+        # fetch); all host bookkeeping below reads this, never the
+        # device arrays.
+        fh = jax.device_get(frame)
+        self.cur_fh = fh
         assoc = np.full(frame.n, -1, np.int32)
 
         if self.state == "NOT_INITIALIZED":
-            if int(np.asarray(frame.has_depth).sum()) >= 100:
+            if int((fh.depth > 0).sum()) >= 100:
                 self._stereo_initialize(frame, timestamp)
             self._record(timestamp, lost=(self.state != "OK"))
             return self.current_pose()
@@ -202,9 +212,7 @@ class Tracker:
         if ok:
             self.state = "OK"
             # velocity = T_curr * T_last^-1
-            Rl_i, tl_i = se3_inverse(jnp.asarray(self.last_R), jnp.asarray(self.last_t))
-            dR, dt = se3_compose(jnp.asarray(self.R), jnp.asarray(self.t), Rl_i, tl_i)
-            self.vel = (np.asarray(dR), np.asarray(dt))
+            self.vel = nse3_relative(self.R, self.t, self.last_R, self.last_t)
 
             if self._need_keyframe(frame, assoc, n_inliers):
                 self._create_keyframe(frame, assoc, timestamp)
@@ -216,6 +224,7 @@ class Tracker:
             self.vel = None
 
         self.last_frame = frame
+        self.last_fh = fh
         self.last_assoc = assoc
         self.last_R = self.R.copy()
         self.last_t = self.t.copy()
@@ -239,12 +248,10 @@ class Tracker:
         # T_c<-r = T_cw * T_rw^-1   (replayed against the *final* KF pose
         # at save time — SURVEY.md §3.5's relative-to-refKF scheme).
         Rr, tr = self.map.kf_R[self.ref_kf], self.map.kf_t[self.ref_kf]
-        Rri, tri = se3_inverse(jnp.asarray(Rr), jnp.asarray(tr))
-        Rrel, trel = se3_compose(jnp.asarray(self.R), jnp.asarray(self.t), Rri, tri)
+        Rrel, trel = nse3_relative(self.R, self.t, Rr, tr)
         self.trajectory.append(
             TrajectoryEntry(
-                self.frame_id, timestamp, self.ref_kf,
-                np.asarray(Rrel), np.asarray(trel), lost,
+                self.frame_id, timestamp, self.ref_kf, Rrel, trel, lost,
             )
         )
 
@@ -256,29 +263,31 @@ class Tracker:
                 out.append((e.frame_id, e.timestamp, np.eye(3), np.zeros(3), e.lost))
                 continue
             Rr, tr = self.map.kf_R[e.ref_kf], self.map.kf_t[e.ref_kf]
-            R, t = se3_compose(
-                jnp.asarray(e.R_rel), jnp.asarray(e.t_rel), jnp.asarray(Rr), jnp.asarray(tr)
+            R, t = nse3_compose(
+                np.asarray(e.R_rel, np.float32), np.asarray(e.t_rel, np.float32),
+                Rr, tr,
             )
-            out.append((e.frame_id, e.timestamp, np.asarray(R), np.asarray(t), e.lost))
+            out.append((e.frame_id, e.timestamp, R, t, e.lost))
         return out
 
     # ------------------------------------------------------------------
     def _stereo_initialize(self, frame: Frame, timestamp):
+        fh = self.cur_fh
         self.R = np.eye(3, dtype=np.float32)
         self.t = np.zeros(3, np.float32)
-        kf = self.map.add_keyframe(frame, self.R, self.t, self.frame_id, timestamp)
-        depth = np.asarray(frame.depth)
-        valid = np.asarray(frame.valid) & (depth > 0)
+        kf = self.map.add_keyframe(fh, self.R, self.t, self.frame_id, timestamp)
+        valid = fh.valid & (fh.depth > 0)
         idx = np.nonzero(valid)[0]
-        pts_c = np.asarray(backproject(self.cfg.camera, frame.xy, frame.depth))
+        pts_c = nbackproject(self.cfg.camera, fh.xy, fh.depth)
         ids = self.map.add_points(
-            pts_c[idx], np.asarray(frame.desc)[idx], np.asarray(frame.octave)[idx], kf, idx
+            pts_c[idx], fh.desc[idx], fh.octave[idx], kf, idx
         )
         self.recent_lm.append(ids)
         self.ref_kf = kf
         self.ref_kf_matches = len(ids)
         self.state = "OK"
         self.last_frame = frame
+        self.last_fh = fh
         self.last_assoc = self.map.kf_obs_lm[kf].copy()
         self.last_R = self.R.copy()
         self.last_t = self.t.copy()
@@ -288,54 +297,52 @@ class Tracker:
     # ------------------------------------------------------------------
     def _pose_opt_from_assoc(self, frame, assoc, R0, t0, line_kw=None):
         """Run motion-only BA on the current landmark associations."""
+        fh = self.cur_fh
         sel = assoc >= 0
         lm = np.where(sel, assoc, 0)
         pts = self.map.pt_pos[lm]
         obs = np.stack(
-            [
-                np.asarray(frame.xy[:, 0]),
-                np.asarray(frame.xy[:, 1]),
-                np.asarray(frame.u_right),
-            ],
-            -1,
+            [fh.xy[:, 0], fh.xy[:, 1], fh.u_right], -1
         ).astype(np.float32)
         res = pose_optimize(
             jnp.asarray(R0), jnp.asarray(t0),
             jnp.asarray(pts), jnp.asarray(obs),
-            frame.octave, jnp.asarray(sel & np.asarray(frame.valid)),
+            frame.octave, jnp.asarray(sel & fh.valid),
             self.cfg.camera, self.cfg.orb.scale_factor,
             **(line_kw or {}),
         )
-        inl = np.asarray(res.inliers)
+        # Single batched fetch (one tunnel round-trip).
+        R, t, inl, n_inl = jax.device_get(
+            (res.R, res.t, res.inliers, res.n_inliers)
+        )
         assoc = np.where(inl, assoc, -1)
-        return np.asarray(res.R), np.asarray(res.t), assoc, int(res.n_inliers)
+        return R, t, assoc, int(n_inl)
 
     def _track_motion_model(self, frame: Frame):
         dR, dt = self.vel
-        Rp, tp = se3_compose(jnp.asarray(dR), jnp.asarray(dt), jnp.asarray(self.R), jnp.asarray(self.t))
+        Rp, tp = nse3_compose(dR, dt, self.R, self.t)
         la = self.last_assoc
         sel = (la >= 0) & self.map.pt_valid[np.clip(la, 0, self.map.P - 1)]
         lm = np.where(sel, la, 0)
-        pts = jnp.asarray(self.map.pt_pos[lm])
-        desc = jnp.asarray(self.map.pt_desc[lm])
-        octv = self.last_frame.octave
         m = search_by_projection(
-            pts, desc, jnp.asarray(sel), octv,
-            Rp, tp, frame, self.cfg.camera, self.cfg.orb.level_scales,
+            jnp.asarray(self.map.pt_pos[lm]),
+            jnp.asarray(self.map.pt_desc[lm]),
+            jnp.asarray(sel), self.last_frame.octave,
+            jnp.asarray(Rp), jnp.asarray(tp),
+            frame, self.cfg.camera, self.cfg.orb.level_scales,
             radius=self.cfg.tracking.motion_search_radius, ratio=0.9, check_ur=True,
             max_dist_p=jnp.asarray(self.map.pt_max_dist[lm]),
         )
         m = resolve_duplicates(m, frame.n)
-        keep = rotation_consistency(
-            self.last_frame.angle, frame.angle[m.idx], np.asarray(m.mask)
+        keep_d = rotation_consistency(
+            self.last_frame.angle, frame.angle[m.idx], m.mask
         )
-        midx = np.asarray(m.idx)
-        keep = np.asarray(keep)
+        midx, keep = jax.device_get((m.idx, keep_d))
         if keep.sum() < 20:
             return False, np.full(frame.n, -1, np.int32), 0
         assoc = np.full(frame.n, -1, np.int32)
         assoc[midx[keep]] = np.where(sel, la, -1)[keep]
-        R, t, assoc, n_inl = self._pose_opt_from_assoc(frame, assoc, np.asarray(Rp), np.asarray(tp))
+        R, t, assoc, n_inl = self._pose_opt_from_assoc(frame, assoc, Rp, tp)
         if n_inl < 10:
             return False, assoc, n_inl
         self.R, self.t = R, t
@@ -350,7 +357,7 @@ class Tracker:
         # Spatial window (the BoW node pruning analog): cuts confusers so
         # the ratio test keeps far more true matches.
         kf_xy = self.map.kf_xy[k]
-        fxy = np.asarray(frame.xy)
+        fxy = self.cur_fh.xy
         du = fxy[:, 0:1] - kf_xy[None, :, 0]
         dv = fxy[:, 1:2] - kf_xy[None, :, 1]
         window = jnp.asarray((du * du + dv * dv) < 150.0**2)
@@ -359,14 +366,13 @@ class Tracker:
             jnp.asarray(self.map.kf_desc[k]), jnp.asarray(has_lm),
             max_dist=50, ratio=0.75, extra_mask=window,
         )
-        keep = rotation_consistency(
-            frame.angle, jnp.asarray(self.map.kf_angle[k])[m.idx], np.asarray(m.mask)
+        keep_d = rotation_consistency(
+            frame.angle, jnp.asarray(self.map.kf_angle[k])[m.idx], m.mask
         )
-        keep = np.asarray(keep)
+        midx, keep = jax.device_get((m.idx, keep_d))
         if keep.sum() < 15:
             return False, np.full(frame.n, -1, np.int32), 0
         assoc = np.full(frame.n, -1, np.int32)
-        midx = np.asarray(m.idx)
         assoc[keep] = kf_lm[midx[keep]]
         R, t, assoc, n_inl = self._pose_opt_from_assoc(frame, assoc, self.last_R, self.last_t)
         if n_inl < 10:
@@ -404,22 +410,20 @@ class Tracker:
                 jnp.asarray(self.map.kf_desc[k]), jnp.asarray(has_lm),
                 max_dist=50, ratio=0.75,
             )
-            mask = np.asarray(m.mask)
+            mask, idx = jax.device_get((m.mask, m.idx))
             if mask.sum() < 15:
                 continue
-            idx = np.asarray(m.idx)
             lm = np.where(mask, kf_lm[np.where(idx >= 0, idx, 0)], 0)
             res = solve_pnp_ransac(
                 jnp.asarray(self.map.pt_pos[lm]), frame.xy,
                 jnp.asarray(mask), jax.random.PRNGKey(self.frame_id),
                 self.cfg.camera, jnp.ones(frame.n),
             )
-            if int(res[3]) < 15:
+            R0, t0, pnp_inl, n_pnp = jax.device_get(res[:4])
+            if int(n_pnp) < 15:
                 continue
-            assoc = np.where(mask & np.asarray(res[2]), lm, -1).astype(np.int32)
-            R, t, assoc, n_inl = self._pose_opt_from_assoc(
-                frame, assoc, np.asarray(res[0]), np.asarray(res[1])
-            )
+            assoc = np.where(mask & pnp_inl, lm, -1).astype(np.int32)
+            R, t, assoc, n_inl = self._pose_opt_from_assoc(frame, assoc, R0, t0)
             if n_inl >= 15:
                 self.R, self.t = R, t
                 self.ref_kf = k
@@ -478,8 +482,7 @@ class Tracker:
             normal_p=jnp.asarray(normal),
         )
         m = resolve_duplicates(m, frame.n)
-        midx = np.asarray(m.idx)
-        mmask = np.asarray(m.mask)
+        midx, mmask = jax.device_get((m.idx, m.mask))
         new_assoc = assoc.copy()
         rows = np.nonzero(mmask)[0]
         rows = rows[rows < n_local]
@@ -524,8 +527,7 @@ class Tracker:
             jnp.asarray(valid), jnp.asarray(self.R), jnp.asarray(self.t),
             lf, self.cfg.camera,
         )
-        mask = np.asarray(m.mask)
-        idx = np.asarray(m.idx)
+        mask, idx = jax.device_get((m.mask, m.idx))
         if mask.sum() < 3:
             return None
         obs = line_obs_coeffs(lf.p0[m.idx], lf.p1[m.idx])
@@ -548,13 +550,13 @@ class Tracker:
             return False
         if self.map._next_kf >= self.cfg.map.max_keyframes - 2:
             return False
-        depth = np.asarray(frame.depth)
-        valid = np.asarray(frame.valid)
+        depth = self.cur_fh.depth
+        valid = self.cur_fh.valid
         close = valid & (depth > 0) & (depth < cfg.th_depth * self.cfg.camera.baseline)
         tracked_close = int((close & (assoc >= 0)).sum())
         untracked_close = int((close & (assoc < 0)).sum())
         need_close = tracked_close < 100 and untracked_close > 70
-        is_mono = not bool((np.asarray(frame.depth) > 0).any())
+        is_mono = not bool((depth > 0).any())
         # Mono inserts more eagerly (reference: thRefRatio 0.9 mono,
         # 0.75 stereo) since landmarks only come from triangulation.
         ref_ratio = 0.9 if is_mono else 0.75
@@ -574,14 +576,15 @@ class Tracker:
 
     def _create_keyframe(self, frame: Frame, assoc, timestamp):
         cfg = self.cfg
+        fh = self.cur_fh
         self.flush_pending_ba()
         kf = self.map.add_keyframe(
-            frame, self.R, self.t, self.frame_id, timestamp, lm_assoc=assoc
+            fh, self.R, self.t, self.frame_id, timestamp, lm_assoc=assoc
         )
         # New landmarks from stereo depth for unassociated features
         # (close ones always; mirrors Tracking::CreateNewKeyFrame).
-        depth = np.asarray(frame.depth)
-        valid = np.asarray(frame.valid)
+        depth = fh.depth
+        valid = fh.valid
         baseline = cfg.camera.baseline
         candidates = np.nonzero(valid & (depth > 0) & (assoc < 0))[0]
         if len(candidates):
@@ -589,11 +592,11 @@ class Tracker:
             close = depth[order] < cfg.tracking.th_depth * baseline
             n_close = close.sum()
             keep = order[close] if n_close >= 100 else order[:100]
-            pts_c = np.asarray(backproject(cfg.camera, frame.xy, frame.depth))[keep]
-            Rwc, twc = se3_inverse(jnp.asarray(self.R), jnp.asarray(self.t))
-            pts_w = np.asarray(se3_apply(Rwc, twc, jnp.asarray(pts_c)))
+            pts_c = nbackproject(cfg.camera, fh.xy, fh.depth)[keep]
+            Rwc, twc = nse3_inverse(self.R, self.t)
+            pts_w = nse3_apply(Rwc, twc, pts_c)
             ids = self.map.add_points(
-                pts_w, np.asarray(frame.desc)[keep], np.asarray(frame.octave)[keep], kf, keep
+                pts_w, fh.desc[keep], fh.octave[keep], kf, keep
             )
             self.recent_lm.append(ids)
 
@@ -601,30 +604,24 @@ class Tracker:
         # from stereo endpoint depths for unmatched steep lines
         # (CreateNewMapLines analog).
         if self.cfg.lines.enabled and self.cur_lines is not None:
-            lf = self.cur_lines
+            lf = jax.device_get(self.cur_lines)  # one batched fetch
             ln_assoc = (
                 self.cur_ln_assoc
                 if self.cur_ln_assoc is not None
                 else np.full(lf.n, -1, np.int32)
             )
             self.map.set_kf_lines(kf, lf, ln_assoc)
-            d0 = np.asarray(lf.depth0)
-            d1 = np.asarray(lf.depth1)
             new_ln = np.nonzero(
-                np.asarray(lf.valid) & (d0 > 0) & (d1 > 0) & (ln_assoc < 0)
+                lf.valid & (lf.depth0 > 0) & (lf.depth1 > 0) & (ln_assoc < 0)
             )[0]
             if len(new_ln):
-                Rwc, twc = se3_inverse(jnp.asarray(self.R), jnp.asarray(self.t))
-                s_c = np.asarray(
-                    backproject(cfg.camera, lf.p0[new_ln], lf.depth0[new_ln])
-                )
-                e_c = np.asarray(
-                    backproject(cfg.camera, lf.p1[new_ln], lf.depth1[new_ln])
-                )
-                s_w = np.asarray(se3_apply(Rwc, twc, jnp.asarray(s_c)))
-                e_w = np.asarray(se3_apply(Rwc, twc, jnp.asarray(e_c)))
+                Rwc, twc = nse3_inverse(self.R, self.t)
+                s_c = nbackproject(cfg.camera, lf.p0[new_ln], lf.depth0[new_ln])
+                e_c = nbackproject(cfg.camera, lf.p1[new_ln], lf.depth1[new_ln])
+                s_w = nse3_apply(Rwc, twc, s_c)
+                e_w = nse3_apply(Rwc, twc, e_c)
                 ids = self.map.add_lines(
-                    s_w, e_w, np.asarray(lf.desc)[new_ln], kf, new_ln
+                    s_w, e_w, lf.desc[new_ln], kf, new_ln
                 )
 
         # Landmark stats for everything this KF observes.

@@ -59,27 +59,35 @@ def fuse_into_keyframe(store, lm_ids: np.ndarray, k: int, cam, level_scales,
     lm_ids = lm_ids[store.pt_valid[lm_ids]]
     if len(lm_ids) == 0:
         return 0
-    cap = len(lm_ids)
+    # Pad to a bucketed capacity: a raw len(lm_ids) shape would force an
+    # XLA recompile of the projection-search program on every keyframe.
+    n = len(lm_ids)
+    cap = max(1024, 1 << (n - 1).bit_length())
+    pad = cap - n
+    ids_p = np.pad(lm_ids, (0, pad))
+    valid = np.zeros(cap, bool)
+    valid[:n] = True
     view = _kf_view(store, k)
     m = search_by_projection(
-        jnp.asarray(store.pt_pos[lm_ids]),
-        jnp.asarray(store.pt_desc[lm_ids]),
-        jnp.ones(cap, bool),
-        jnp.asarray(store.pt_oct[lm_ids]),
+        jnp.asarray(store.pt_pos[ids_p]),
+        jnp.asarray(store.pt_desc[ids_p]),
+        jnp.asarray(valid),
+        jnp.asarray(store.pt_oct[ids_p]),
         jnp.asarray(store.kf_R[k]), jnp.asarray(store.kf_t[k]),
         view, cam, level_scales,
         radius=radius, max_dist=50, ratio=1.0, check_ur=True,
-        max_dist_p=jnp.asarray(store.pt_max_dist[lm_ids]),
-        min_dist_p=jnp.asarray(store.pt_min_dist[lm_ids]),
-        normal_p=jnp.asarray(store.pt_normal[lm_ids]),
+        max_dist_p=jnp.asarray(store.pt_max_dist[ids_p]),
+        min_dist_p=jnp.asarray(store.pt_min_dist[ids_p]),
+        normal_p=jnp.asarray(store.pt_normal[ids_p]),
         oct_tol=2,  # PredictScale is calibrated +1 for this detector
     )
     m = resolve_duplicates(m, store.F)
-    mask = np.asarray(m.mask)
-    idx = np.asarray(m.idx)
+    import jax
+
+    mask, idx = jax.device_get((m.mask, m.idx))
     counts = store.obs_counts()
     fused = 0
-    for row in np.nonzero(mask)[0]:
+    for row in np.nonzero(mask[:n])[0]:
         lm = int(lm_ids[row])
         feat = int(idx[row])
         existing = int(store.kf_obs_lm[k, feat])

@@ -121,9 +121,7 @@ def create_new_map_points(store, kf_id, cam, scale_factor=1.2, n_neighbors=5,
             jnp.asarray(store.kf_R[k2]), jnp.asarray(store.kf_t[k2]),
             cam, scale_factor,
         )
-        good = np.asarray(good)
-        idx = np.asarray(idx)
-        pts_w = np.asarray(pts_w)
+        idx, pts_w, good = jax.device_get((idx, pts_w, good))
         rows = np.nonzero(good)[0][:max_new]
         if len(rows) == 0:
             continue

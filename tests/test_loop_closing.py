@@ -114,3 +114,54 @@ def test_loop_detection_and_correction():
     # Mid-trajectory keyframes must have been pulled back too.
     err_mid = np.linalg.norm(store.kf_t[8] - true_t[8])
     assert err_mid < 0.8, f"mid-chain error {err_mid:.2f} m"
+
+
+@pytest.mark.slow
+def test_async_gba_dispatch_poll_and_propagation():
+    """dispatch_global_ba + poll_global_ba must apply the solve and
+    propagate to keyframes/landmarks created while it was in flight
+    (the reference's RunGlobalBundleAdjustment post-solve handling)."""
+    cfg, store, true_t, drift = build_drifted_map()
+    voc = Vocabulary.train(
+        store.kf_desc[store.kf_valid].reshape(-1, 32)[:8000], k=8, depth=3
+    )
+    lc = LoopCloser(cfg, store, voc)
+    lc.gba_async = True
+
+    lc.dispatch_global_ba(iters1=2, iters2=3)
+    assert lc._pending_gba is not None
+
+    # A keyframe arrives while the solve is in flight, with a known
+    # relative pose to the last snapshot KF.
+    parent = store._next_kf - 1
+    Rp, tp = store.kf_R[parent].copy(), store.kf_t[parent].copy()
+    R_rel = np.eye(3, dtype=np.float32)
+    t_rel = np.array([0.0, 0.0, -1.0], np.float32)
+    descs = RNG.integers(0, 256, (F, 32), dtype=np.uint8)
+    pts_cam = np.stack(
+        [RNG.uniform(-4, 4, F), RNG.uniform(-2, 2, F), RNG.uniform(5, 25, F)], -1
+    ).astype(np.float32)
+    frame = _F(descs, pts_cam)
+    kf_new = store.add_keyframe(
+        frame, R_rel @ Rp, R_rel @ tp + t_rel, frame_id=99, timestamp=9.9
+    )
+    # A landmark created in flight (not part of the dispatched problem).
+    Rk, tk = store.kf_R[kf_new], store.kf_t[kf_new]
+    x_w = np.array([[1.0, 0.5, 12.0]], np.float32)
+    x_cam_before = (Rk @ x_w[0] + tk).copy()
+    ids = store.add_points(
+        x_w, descs[:1], np.zeros(1, np.int32), kf_new, np.array([0])
+    )
+
+    assert lc.poll_global_ba(force=True)
+    assert lc._pending_gba is None
+
+    # Relative pose child<-parent is preserved by the propagation.
+    R_rel_after = store.kf_R[kf_new] @ store.kf_R[parent].T
+    t_rel_after = store.kf_t[kf_new] - R_rel_after @ store.kf_t[parent]
+    np.testing.assert_allclose(R_rel_after, R_rel, atol=1e-4)
+    np.testing.assert_allclose(t_rel_after, t_rel, atol=1e-3)
+    # The in-flight landmark keeps its camera-frame position in its
+    # first keyframe.
+    x_cam_after = store.kf_R[kf_new] @ store.pt_pos[ids[0]] + store.kf_t[kf_new]
+    np.testing.assert_allclose(x_cam_after, x_cam_before, atol=1e-3)
