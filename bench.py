@@ -95,6 +95,7 @@ def main():
                     "local_ba_iter_ms": round(ba_ms, 2),
                     "full_pipeline_fps": round(pipe_fps, 2),
                     "full_pipeline_vs_baseline": round(pipe_fps / BASELINE_FPS, 3),
+                    "platform": jax.devices()[0].platform,
                 },
             }
         )

@@ -12,17 +12,18 @@ from pathlib import Path
 
 import numpy as np
 
-from ..geometry.se3 import se3_inverse, quat_from_rotmat
-import jax.numpy as jnp
+from ..geometry.host import nquat_from_rotmat, nse3_inverse
 
 
 def save_trajectory_kitti(path, trajectory):
     """trajectory: iterable of (frame_id, timestamp, R_cw, t_cw, lost).
-    Writes camera-to-world 3x4 rows (KITTI convention)."""
+    Writes camera-to-world 3x4 rows (KITTI convention).
+    Host numpy throughout: a per-pose eager device op would cost a
+    ~25 ms tunnel round-trip per trajectory row."""
     lines = []
     for _, _, R_cw, t_cw, _ in trajectory:
-        Rwc, twc = se3_inverse(jnp.asarray(R_cw), jnp.asarray(t_cw))
-        T = np.hstack([np.asarray(Rwc), np.asarray(twc)[:, None]])
+        Rwc, twc = nse3_inverse(np.asarray(R_cw, np.float32), np.asarray(t_cw, np.float32))
+        T = np.hstack([Rwc, twc[:, None]])
         lines.append(" ".join(f"{v:.9e}" for v in T.reshape(-1)))
     Path(path).write_text("\n".join(lines) + "\n")
 
@@ -31,9 +32,8 @@ def save_trajectory_tum(path, trajectory):
     """TUM format: timestamp tx ty tz qx qy qz qw (camera-to-world)."""
     lines = []
     for _, ts, R_cw, t_cw, _ in trajectory:
-        Rwc, twc = se3_inverse(jnp.asarray(R_cw), jnp.asarray(t_cw))
-        q = np.asarray(quat_from_rotmat(jnp.asarray(Rwc)))
-        twc = np.asarray(twc)
+        Rwc, twc = nse3_inverse(np.asarray(R_cw, np.float32), np.asarray(t_cw, np.float32))
+        q = nquat_from_rotmat(Rwc)
         lines.append(
             f"{ts:.6f} {twc[0]:.7f} {twc[1]:.7f} {twc[2]:.7f} "
             f"{q[0]:.7f} {q[1]:.7f} {q[2]:.7f} {q[3]:.7f}"

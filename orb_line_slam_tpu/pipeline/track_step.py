@@ -1,0 +1,227 @@
+"""The fused per-frame tracking device program.
+
+TPU-native rebuild of the Tracking::Track inner loop (src/Tracking.cc,
+SURVEY.md §3.2 hot loops 4-5): ONE jitted XLA program per frame chains
+
+  motion-model projection search → motion-only pose opt (path A)
+  reference-KF descriptor match  → motion-only pose opt (path B)
+  branchless path select (the reference's if-fail-fallback)
+  local-map projection search at the selected pose
+  (optional) map-line projection match
+  final joint pose opt + inlier gating + keyframe-decision statistics
+
+The reference runs these as ~6 separate steps with CPU bookkeeping in
+between; splitting them the same way on TPU costs one ~25 ms tunnel
+round-trip per step (measured through the axon PJRT tunnel).  Fusing
+them means the host dispatches once and fetches ONE compact result
+(~30 KB) per frame; all cross-stage dataflow stays on device.
+
+Branchless fallback: path B (reference-KF match) is computed every
+frame instead of only when path A fails — on the MXU the extra masked
+Hamming matmul is ~2 ms, far cheaper than a second dispatch round-trip
+would be.  Landmark identity crosses the host boundary as GLOBAL ids
+(gid arrays), so the host never has to re-map rows mid-frame.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..backend.pose_opt import pose_optimize
+from ..backend.residuals import line_obs_coeffs
+from ..config import SlamConfig
+from ..geometry.camera import project_stereo
+from ..geometry.se3 import se3_apply, se3_compose
+from ..matching.line_matcher import search_lines_by_projection
+from ..matching.point_matcher import (
+    match_descriptors,
+    predict_scale,
+    resolve_duplicates,
+    rotation_consistency,
+    search_by_projection,
+)
+
+
+class TrackOut(NamedTuple):
+    R: jnp.ndarray              # float32 [3,3] final pose
+    t: jnp.ndarray              # float32 [3]
+    assoc_gid: jnp.ndarray      # int32 [N] global landmark id per feature (-1)
+    inliers: jnp.ndarray        # bool [N] pose-opt-2 point inliers
+    n_inliers: jnp.ndarray      # int32 (points + lines)
+    used_motion: jnp.ndarray    # bool — path A selected
+    stage1_ok: jnp.ndarray      # bool — either path produced a pose
+    n_stage1: jnp.ndarray       # int32 inliers of the selected stage-1 opt
+    visible_snap: jnp.ndarray   # bool [cap] snapshot landmark in frustum
+    tracked_close: jnp.ndarray  # int32 (KF decision: close & tracked)
+    untracked_close: jnp.ndarray  # int32
+    ln_match_idx: jnp.ndarray   # int32 [Lcap] map line -> frame line row
+    ln_match_mask: jnp.ndarray  # bool [Lcap]
+
+
+def _invert_matches(m_idx, m_mask, n_rows: int, n_feats: int):
+    """Per-landmark-row matches -> per-frame-feature source row (-1)."""
+    tgt = jnp.where(m_mask, m_idx, n_feats)
+    out = jnp.full((n_feats + 1,), -1, jnp.int32)
+    out = out.at[tgt].set(jnp.arange(n_rows, dtype=jnp.int32))
+    return out[:n_feats]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "has_lines"))
+def track_step(
+    frame,                       # Frame pytree (current, device)
+    last_frame,                  # Frame pytree (previous, device)
+    # Last-frame landmark table, row-aligned with last_frame features:
+    last_pos, last_desc, last_sel, last_maxd, last_gid,
+    # Velocity prior T_k<-k-1 and last pose:
+    Rv, tv, R_last, t_last, has_velocity,
+    # Reference-KF feature slots (row-aligned tables):
+    ref_xy, ref_desc, ref_angle, ref_has_lm, ref_pos, ref_gid,
+    # Local-map snapshot [cap]:
+    snap_pos, snap_desc, snap_oct, snap_valid,
+    snap_maxd, snap_mind, snap_normal, snap_gid,
+    # Lines (dummy [8]-arrays when has_lines=False):
+    lf,                          # LineFeatures pytree or None
+    ln_start, ln_end, ln_desc, ln_valid,
+    cfg: SlamConfig,
+    has_lines: bool = False,
+) -> TrackOut:
+    cam = cfg.camera
+    scales = cfg.orb.level_scales
+    N = frame.xy.shape[0]
+    F = last_desc.shape[0]
+    cap = snap_pos.shape[0]
+
+    # ---- Path A: motion model ---------------------------------------
+    Rp, tp = se3_compose(Rv, tv, R_last, t_last)
+    mA = search_by_projection(
+        last_pos, last_desc, last_sel & has_velocity, last_frame.octave,
+        Rp, tp, frame, cam, scales,
+        radius=cfg.tracking.motion_search_radius, ratio=0.9, check_ur=True,
+        max_dist_p=last_maxd,
+    )
+    mA = resolve_duplicates(mA, N)
+    keepA = rotation_consistency(last_frame.angle, frame.angle[mA.idx], mA.mask)
+    n_mm = jnp.sum(keepA.astype(jnp.int32))
+    rowA = _invert_matches(mA.idx, keepA, F, N)        # frame feat -> last row
+    selA = rowA >= 0
+    rA = jnp.where(selA, rowA, 0)
+    ptsA = last_pos[rA]
+    gidA = jnp.where(selA, last_gid[rA], -1)
+
+    obs = jnp.stack([frame.xy[:, 0], frame.xy[:, 1], frame.u_right], -1)
+    resA = pose_optimize(
+        Rp, tp, ptsA, obs, frame.octave, selA & frame.valid,
+        cam, cfg.orb.scale_factor,
+    )
+    okA = has_velocity & (n_mm >= 20) & (resA.n_inliers >= 10)
+
+    # ---- Path B: reference keyframe (BoW-match analog) ---------------
+    du = frame.xy[:, 0:1] - ref_xy[None, :, 0]
+    dv = frame.xy[:, 1:2] - ref_xy[None, :, 1]
+    window = (du * du + dv * dv) < 150.0**2
+    mB = match_descriptors(
+        frame.desc, frame.valid, ref_desc, ref_has_lm,
+        max_dist=50, ratio=0.75, extra_mask=window,
+    )
+    keepB = rotation_consistency(frame.angle, ref_angle[mB.idx], mB.mask)
+    n_ref = jnp.sum(keepB.astype(jnp.int32))
+    selB = keepB
+    rB = jnp.where(selB, mB.idx, 0)
+    ptsB = ref_pos[rB]
+    gidB = jnp.where(selB, ref_gid[rB], -1)
+    resB = pose_optimize(
+        R_last, t_last, ptsB, obs, frame.octave, selB & frame.valid,
+        cam, cfg.orb.scale_factor,
+    )
+    okB = (n_ref >= 15) & (resB.n_inliers >= 10)
+
+    # ---- Branchless select (reference: fallback ladder) --------------
+    use_mm = okA
+    stage1_ok = okA | okB
+    R1 = jnp.where(use_mm, resA.R, resB.R)
+    t1 = jnp.where(use_mm, resA.t, resB.t)
+    n1 = jnp.where(use_mm, resA.n_inliers, resB.n_inliers)
+    sel1 = jnp.where(use_mm, selA & resA.inliers, selB & resB.inliers)
+    gid1 = jnp.where(use_mm, gidA, gidB)
+    gid1 = jnp.where(sel1, gid1, -1)
+    pts1 = jnp.where(use_mm, ptsA.T, ptsB.T).T
+
+    # ---- Local map search at the selected pose ------------------------
+    # Exclude snapshot landmarks already associated in stage 1 (by gid).
+    hit = (snap_gid[:, None] == gid1[None, :]) & (gid1 >= 0)[None, :]
+    already = jnp.any(hit, axis=1)
+    m5 = search_by_projection(
+        snap_pos, snap_desc, snap_valid & ~already & stage1_ok, snap_oct,
+        R1, t1, frame, cam, scales,
+        radius=4.0, max_dist=50, ratio=0.8, check_ur=True,
+        max_dist_p=snap_maxd, min_dist_p=snap_mind, normal_p=snap_normal,
+    )
+    m5 = resolve_duplicates(m5, N)
+    row5 = _invert_matches(m5.idx, m5.mask, cap, N)
+    sel5 = (row5 >= 0) & ~sel1
+    r5 = jnp.where(sel5, row5, 0)
+    gid_merged = jnp.where(sel1, gid1, jnp.where(sel5, snap_gid[r5], -1))
+    pts_merged = jnp.where(sel1[:, None], pts1, snap_pos[r5])
+    sel_merged = (sel1 | sel5) & frame.valid
+
+    # Visibility stats (SearchLocalPoints' "visible" counter): frustum
+    # test of the snapshot at the stage-1 pose.
+    xc = se3_apply(R1, t1, snap_pos)
+    uvr = project_stereo(cam, xc)
+    cc = -jnp.einsum("ji,j->i", R1, t1)
+    view = snap_pos - cc
+    vdist = jnp.linalg.norm(view, axis=-1)
+    cosang = jnp.sum(view * snap_normal, axis=-1) / jnp.maximum(vdist, 1e-6)
+    visible_snap = (
+        snap_valid
+        & (xc[:, 2] > 0.1)
+        & (uvr[:, 0] >= 0) & (uvr[:, 0] < cam.width)
+        & (uvr[:, 1] >= 0) & (uvr[:, 1] < cam.height)
+        & (vdist >= 0.8 * snap_mind) & (vdist <= 1.2 * snap_maxd)
+        & (cosang > 0.5)
+    )
+
+    # ---- Map lines ----------------------------------------------------
+    Lcap = ln_start.shape[0]
+    if has_lines:
+        mL = search_lines_by_projection(
+            ln_start, ln_end, ln_desc, ln_valid, R1, t1, lf, cam,
+        )
+        l_obs = line_obs_coeffs(lf.p0[mL.idx], lf.p1[mL.idx])
+        line_kw = dict(
+            line_start_w=ln_start, line_end_w=ln_end, line_obs=l_obs,
+            line_octave=jnp.zeros(Lcap, jnp.int32),
+            line_valid=mL.mask & ln_valid,
+        )
+        ln_match_idx = mL.idx
+        ln_match_mask = mL.mask
+    else:
+        line_kw = {}
+        ln_match_idx = jnp.full((Lcap,), -1, jnp.int32)
+        ln_match_mask = jnp.zeros((Lcap,), bool)
+
+    # ---- Final joint pose opt ------------------------------------------
+    res2 = pose_optimize(
+        R1, t1, pts_merged, obs, frame.octave, sel_merged,
+        cam, cfg.orb.scale_factor, **line_kw,
+    )
+    gid_out = jnp.where(res2.inliers & sel_merged, gid_merged, -1)
+
+    # ---- Keyframe-decision statistics ----------------------------------
+    close = frame.valid & (frame.depth > 0) & (
+        frame.depth < cfg.tracking.th_depth * cam.baseline
+    )
+    tracked_close = jnp.sum((close & (gid_out >= 0)).astype(jnp.int32))
+    untracked_close = jnp.sum((close & (gid_out < 0)).astype(jnp.int32))
+
+    return TrackOut(
+        R=res2.R, t=res2.t, assoc_gid=gid_out, inliers=res2.inliers,
+        n_inliers=res2.n_inliers, used_motion=use_mm, stage1_ok=stage1_ok,
+        n_stage1=n1, visible_snap=visible_snap,
+        tracked_close=tracked_close, untracked_close=untracked_close,
+        ln_match_idx=ln_match_idx, ln_match_mask=ln_match_mask,
+    )

@@ -32,13 +32,9 @@ from ..geometry.host import (
     nse3_inverse,
     nse3_relative,
 )
-from ..matching.point_matcher import (
-    match_descriptors,
-    resolve_duplicates,
-    rotation_consistency,
-    search_by_projection,
-)
+from ..matching.point_matcher import match_descriptors, rotation_consistency
 from ..slam_map.map_store import MapStore
+from .track_step import track_step
 
 
 @dataclasses.dataclass
@@ -78,6 +74,9 @@ class Tracker:
         self.reloc_candidates_fn = None  # BoW relocalization candidates
         self.async_mapping = False       # defer BA write-back to next KF
         self._pending_ba = None
+        self.is_mono = False
+        self.cur_frame = None
+        self._fh_frame_id = -1           # lazy host mirror bookkeeping
 
     # ------------------------------------------------------------------
     def process_stereo(self, img_left, img_right, timestamp: float = 0.0):
@@ -102,9 +101,11 @@ class Tracker:
         from ..frontend.frame import build_mono_frame
 
         self.frame_id += 1
+        self.is_mono = True
         frame = build_mono_frame(jnp.asarray(img), self.cfg)
         if self.state == "NOT_INITIALIZED":
-            self.cur_fh = jax.device_get(frame)
+            self.cur_frame = frame
+            self._fh(frame)
             self._try_mono_initialize(frame, timestamp)
             self._record(timestamp, lost=(self.state != "OK"))
             return self.current_pose()
@@ -181,40 +182,71 @@ class Tracker:
             self.on_keyframe(kf1)
 
     # ------------------------------------------------------------------
+    def _fh(self, frame: Frame):
+        """Lazy host mirror of the current frame (ONE batched fetch,
+        only taken on paths that need host-side feature data: map init,
+        relocalization, keyframe creation)."""
+        if self._fh_frame_id != self.frame_id:
+            self.cur_fh = jax.device_get(frame)
+            self._fh_frame_id = self.frame_id
+        return self.cur_fh
+
     def _track(self, frame: Frame, timestamp: float):
-        cfg = self.cfg
-        n_inliers = 0
-        # ONE host mirror of the frame arrays (single batched device
-        # fetch); all host bookkeeping below reads this, never the
-        # device arrays.
-        fh = jax.device_get(frame)
-        self.cur_fh = fh
-        assoc = np.full(frame.n, -1, np.int32)
+        self.cur_frame = frame
 
         if self.state == "NOT_INITIALIZED":
+            fh = self._fh(frame)
             if int((fh.depth > 0).sum()) >= 100:
                 self._stereo_initialize(frame, timestamp)
             self._record(timestamp, lost=(self.state != "OK"))
             return self.current_pose()
 
-        ok = False
-        if self.state == "OK" and self.vel is not None:
-            ok, assoc, n_inliers = self._track_motion_model(frame)
+        # ONE fused device program covers motion-model match + pose opt,
+        # reference-KF match + pose opt, branchless fallback select,
+        # local-map search, map-line match and the final joint pose opt
+        # (pipeline/track_step.py) — one dispatch, one compact fetch.
+        out, snap_ids, ln_ids = self._dispatch_track_step(frame)
+        ok = bool(out.stage1_ok) and int(out.n_inliers) >= 10
         if not ok:
-            ok, assoc, n_inliers = self._track_reference_kf(frame)
-        if not ok:
-            ok, assoc, n_inliers = self._relocalize(frame)
+            # Reference ladder's last rung: relocalization (BoW/PnP).
+            r_ok, _, _ = self._relocalize(frame)
+            if r_ok:
+                # Re-run the fused step from the relocalized pose and
+                # reference KF (covers the local-map + line stages).
+                self.last_R = self.R.copy()
+                self.last_t = self.t.copy()
+                self.vel = None
+                out, snap_ids, ln_ids = self._dispatch_track_step(frame)
+                ok = bool(out.stage1_ok) and int(out.n_inliers) >= 10
+
+        assoc = np.asarray(out.assoc_gid)
+        n_inliers = int(out.n_inliers)
 
         if ok:
-            assoc, n_inliers = self._track_local_map(frame, assoc)
-            ok = n_inliers >= 10
-
-        if ok:
+            self.R = np.asarray(out.R)
+            self.t = np.asarray(out.t)
             self.state = "OK"
+            # Landmark statistics (IncreaseFound / IncreaseVisible).
+            found = assoc[assoc >= 0]
+            self.map.pt_found[found] += 1
+            vis = np.asarray(out.visible_snap)[: len(snap_ids)]
+            self.map.pt_visible[snap_ids[vis]] += 1
+            # Map-line associations for keyframe creation.
+            self.cur_ln_assoc = None
+            if ln_ids is not None and len(ln_ids):
+                lmask = np.asarray(out.ln_match_mask)
+                lidx = np.asarray(out.ln_match_idx)
+                ln_assoc = np.full(self.cfg.lines.n_lines, -1, np.int32)
+                rows = np.nonzero(lmask)[0]
+                rows = rows[rows < len(ln_ids)]
+                ln_assoc[lidx[rows]] = ln_ids[rows]
+                self.cur_ln_assoc = ln_assoc
             # velocity = T_curr * T_last^-1
             self.vel = nse3_relative(self.R, self.t, self.last_R, self.last_t)
 
-            if self._need_keyframe(frame, assoc, n_inliers):
+            if self._need_keyframe(
+                n_inliers, int(out.tracked_close), int(out.untracked_close)
+            ):
                 self._create_keyframe(frame, assoc, timestamp)
                 self.frames_since_kf = 0
             else:
@@ -224,13 +256,110 @@ class Tracker:
             self.vel = None
 
         self.last_frame = frame
-        self.last_fh = fh
         self.last_assoc = assoc
         self.last_R = self.R.copy()
         self.last_t = self.t.copy()
-        self.stats.append({"frame": self.frame_id, "inliers": n_inliers, "state": self.state})
+        self.stats.append(
+            {
+                "frame": self.frame_id,
+                "inliers": n_inliers,
+                "state": self.state,
+                "motion_model": bool(out.used_motion),
+            }
+        )
         self._record(timestamp, lost=not ok)
         return self.current_pose()
+
+    # ------------------------------------------------------------------
+    def _dispatch_track_step(self, frame: Frame):
+        """Gather the host-side landmark tables, dispatch the fused
+        track step, fetch its compact output (one round-trip)."""
+        m = self.map
+        cfg = self.cfg
+        # Last-frame landmark table (row-aligned with last_frame).
+        la = self.last_assoc
+        sel = (la >= 0) & m.pt_valid[np.clip(la, 0, m.P - 1)]
+        lmr = np.where(sel, la, 0)
+        last_gid = np.where(sel, la, -1).astype(np.int32)
+        # Reference-KF table (row-aligned with its feature slots).
+        k = self.ref_kf
+        kf_lm = m.kf_obs_lm[k]
+        has_lm = (kf_lm >= 0) & m.pt_valid[np.clip(kf_lm, 0, m.P - 1)]
+        ref_gid = np.where(has_lm, kf_lm, -1).astype(np.int32)
+        kf_lmr = np.where(has_lm, kf_lm, 0)
+        # Local-map snapshot (covisible neighbourhood of the ref KF).
+        cap = cfg.map.local_points
+        ids, _ = m.covisible_keyframes(k, min_weight=1, max_n=20)
+        local_kfs = [k] + [int(i) for i in ids]
+        lm = np.unique(
+            np.concatenate([m.kf_obs_lm[j][m.kf_obs_lm[j] >= 0] for j in local_kfs])
+        )
+        lm = lm[m.pt_valid[lm]][:cap]
+        n_local = len(lm)
+        snap_pos = np.zeros((cap, 3), np.float32)
+        snap_desc = np.zeros((cap, 32), np.uint8)
+        snap_oct = np.zeros(cap, np.int32)
+        snap_valid = np.zeros(cap, bool)
+        snap_maxd = np.full(cap, 1.0, np.float32)
+        snap_mind = np.zeros(cap, np.float32)
+        snap_normal = np.zeros((cap, 3), np.float32)
+        snap_gid = np.full(cap, -1, np.int32)
+        snap_pos[:n_local] = m.pt_pos[lm]
+        snap_desc[:n_local] = m.pt_desc[lm]
+        snap_oct[:n_local] = m.pt_oct[lm]
+        snap_valid[:n_local] = True
+        snap_maxd[:n_local] = m.pt_max_dist[lm]
+        snap_mind[:n_local] = m.pt_min_dist[lm]
+        snap_normal[:n_local] = m.pt_normal[lm]
+        snap_gid[:n_local] = lm
+        # Map lines.
+        lf = self.cur_lines
+        has_lines = (
+            cfg.lines.enabled and lf is not None and bool(m.ln_valid.any())
+        )
+        Lcap = cfg.lines.n_lines if has_lines else 8
+        ln_starts = np.zeros((Lcap, 3), np.float32)
+        ln_ends = np.ones((Lcap, 3), np.float32)
+        ln_descs = np.zeros((Lcap, 32), np.uint8)
+        ln_valid = np.zeros(Lcap, bool)
+        ln_ids = None
+        if has_lines:
+            ln_ids = np.nonzero(m.ln_valid)[0][:Lcap]
+            nl = len(ln_ids)
+            ln_starts[:nl] = m.ln_start[ln_ids]
+            ln_ends[:nl] = m.ln_end[ln_ids]
+            ln_descs[:nl] = m.ln_desc[ln_ids]
+            ln_valid[:nl] = True
+        # Velocity prior.
+        if self.vel is not None:
+            Rv, tv = self.vel
+            hv = True
+        else:
+            Rv = np.eye(3, dtype=np.float32)
+            tv = np.zeros(3, np.float32)
+            hv = False
+
+        out = track_step(
+            frame, self.last_frame,
+            jnp.asarray(m.pt_pos[lmr]), jnp.asarray(m.pt_desc[lmr]),
+            jnp.asarray(sel), jnp.asarray(m.pt_max_dist[lmr]),
+            jnp.asarray(last_gid),
+            jnp.asarray(Rv), jnp.asarray(tv),
+            jnp.asarray(self.last_R), jnp.asarray(self.last_t),
+            jnp.asarray(hv),
+            jnp.asarray(m.kf_xy[k]), jnp.asarray(m.kf_desc[k]),
+            jnp.asarray(m.kf_angle[k]), jnp.asarray(has_lm),
+            jnp.asarray(m.pt_pos[kf_lmr]), jnp.asarray(ref_gid),
+            jnp.asarray(snap_pos), jnp.asarray(snap_desc),
+            jnp.asarray(snap_oct), jnp.asarray(snap_valid),
+            jnp.asarray(snap_maxd), jnp.asarray(snap_mind),
+            jnp.asarray(snap_normal), jnp.asarray(snap_gid),
+            lf if has_lines else None,
+            jnp.asarray(ln_starts), jnp.asarray(ln_ends),
+            jnp.asarray(ln_descs), jnp.asarray(ln_valid),
+            cfg=cfg, has_lines=has_lines,
+        )
+        return jax.device_get(out), lm, ln_ids
 
     # ------------------------------------------------------------------
     def current_pose(self) -> np.ndarray:
@@ -272,7 +401,8 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _stereo_initialize(self, frame: Frame, timestamp):
-        fh = self.cur_fh
+        fh = self._fh(frame)
+        self.is_mono = False
         self.R = np.eye(3, dtype=np.float32)
         self.t = np.zeros(3, np.float32)
         kf = self.map.add_keyframe(fh, self.R, self.t, self.frame_id, timestamp)
@@ -296,8 +426,10 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _pose_opt_from_assoc(self, frame, assoc, R0, t0, line_kw=None):
-        """Run motion-only BA on the current landmark associations."""
-        fh = self.cur_fh
+        """Run motion-only BA on the current landmark associations
+        (relocalization ladder only — the steady-state path runs inside
+        the fused track_step program)."""
+        fh = self._fh(frame)
         sel = assoc >= 0
         lm = np.where(sel, assoc, 0)
         pts = self.map.pt_pos[lm]
@@ -318,36 +450,6 @@ class Tracker:
         assoc = np.where(inl, assoc, -1)
         return R, t, assoc, int(n_inl)
 
-    def _track_motion_model(self, frame: Frame):
-        dR, dt = self.vel
-        Rp, tp = nse3_compose(dR, dt, self.R, self.t)
-        la = self.last_assoc
-        sel = (la >= 0) & self.map.pt_valid[np.clip(la, 0, self.map.P - 1)]
-        lm = np.where(sel, la, 0)
-        m = search_by_projection(
-            jnp.asarray(self.map.pt_pos[lm]),
-            jnp.asarray(self.map.pt_desc[lm]),
-            jnp.asarray(sel), self.last_frame.octave,
-            jnp.asarray(Rp), jnp.asarray(tp),
-            frame, self.cfg.camera, self.cfg.orb.level_scales,
-            radius=self.cfg.tracking.motion_search_radius, ratio=0.9, check_ur=True,
-            max_dist_p=jnp.asarray(self.map.pt_max_dist[lm]),
-        )
-        m = resolve_duplicates(m, frame.n)
-        keep_d = rotation_consistency(
-            self.last_frame.angle, frame.angle[m.idx], m.mask
-        )
-        midx, keep = jax.device_get((m.idx, keep_d))
-        if keep.sum() < 20:
-            return False, np.full(frame.n, -1, np.int32), 0
-        assoc = np.full(frame.n, -1, np.int32)
-        assoc[midx[keep]] = np.where(sel, la, -1)[keep]
-        R, t, assoc, n_inl = self._pose_opt_from_assoc(frame, assoc, Rp, tp)
-        if n_inl < 10:
-            return False, assoc, n_inl
-        self.R, self.t = R, t
-        return True, assoc, n_inl
-
     def _track_reference_kf(self, frame: Frame):
         if self.ref_kf < 0:
             return False, np.full(frame.n, -1, np.int32), 0
@@ -357,7 +459,7 @@ class Tracker:
         # Spatial window (the BoW node pruning analog): cuts confusers so
         # the ratio test keeps far more true matches.
         kf_xy = self.map.kf_xy[k]
-        fxy = self.cur_fh.xy
+        fxy = self._fh(frame).xy
         du = fxy[:, 0:1] - kf_xy[None, :, 0]
         dv = fxy[:, 1:2] - kf_xy[None, :, 1]
         window = jnp.asarray((du * du + dv * dv) < 150.0**2)
@@ -439,124 +541,17 @@ class Tracker:
             self.last_R, self.last_t = saved_R, saved_t
         return False, np.full(frame.n, -1, np.int32), 0
 
-    # ------------------------------------------------------------------
-    def _track_local_map(self, frame: Frame, assoc):
-        cfg = self.cfg
-        cap = cfg.map.local_points
-        # Local keyframes: covisible neighbours of the reference KF.
-        ids, _ = self.map.covisible_keyframes(self.ref_kf, min_weight=1, max_n=20)
-        local_kfs = [self.ref_kf] + [int(i) for i in ids]
-        lm = np.unique(
-            np.concatenate(
-                [self.map.kf_obs_lm[k][self.map.kf_obs_lm[k] >= 0] for k in local_kfs]
-            )
-        )
-        lm = lm[self.map.pt_valid[lm]]
-        lm = lm[:cap]
-        n_local = len(lm)
-        pts = np.zeros((cap, 3), np.float32)
-        desc = np.zeros((cap, 32), np.uint8)
-        octv = np.zeros(cap, np.int32)
-        valid = np.zeros(cap, bool)
-        maxd = np.full(cap, 1.0, np.float32)
-        mind = np.zeros(cap, np.float32)
-        normal = np.zeros((cap, 3), np.float32)
-        pts[:n_local] = self.map.pt_pos[lm]
-        desc[:n_local] = self.map.pt_desc[lm]
-        octv[:n_local] = self.map.pt_oct[lm]
-        valid[:n_local] = True
-        maxd[:n_local] = self.map.pt_max_dist[lm]
-        mind[:n_local] = self.map.pt_min_dist[lm]
-        normal[:n_local] = self.map.pt_normal[lm]
-        # Don't re-match landmarks already associated this frame.
-        already = np.isin(lm, assoc[assoc >= 0])
-        valid_search = valid.copy()
-        valid_search[:n_local] &= ~already
-
-        m = search_by_projection(
-            jnp.asarray(pts), jnp.asarray(desc), jnp.asarray(valid_search),
-            jnp.asarray(octv), jnp.asarray(self.R), jnp.asarray(self.t),
-            frame, cfg.camera, cfg.orb.level_scales,
-            radius=4.0, max_dist=50, ratio=0.8, check_ur=True,
-            max_dist_p=jnp.asarray(maxd), min_dist_p=jnp.asarray(mind),
-            normal_p=jnp.asarray(normal),
-        )
-        m = resolve_duplicates(m, frame.n)
-        midx, mmask = jax.device_get((m.idx, m.mask))
-        new_assoc = assoc.copy()
-        rows = np.nonzero(mmask)[0]
-        rows = rows[rows < n_local]
-        for r in rows:
-            f = midx[r]
-            if new_assoc[f] < 0:
-                new_assoc[f] = lm[r]
-
-        line_kw = self._match_map_lines()
-        R, t, new_assoc, n_inl = self._pose_opt_from_assoc(
-            frame, new_assoc, self.R, self.t, line_kw=line_kw
-        )
-        self.R, self.t = R, t
-        found = new_assoc[new_assoc >= 0]
-        self.map.pt_found[found] += 1
-        self.map.pt_visible[lm] += 1
-        return new_assoc, n_inl
-
-    def _match_map_lines(self):
-        """Match 3D map lines into the current frame's line features;
-        returns pose-optimizer kwargs (or None when lines are off)."""
-        lf = self.cur_lines
-        self.cur_ln_assoc = None
-        if lf is None or not self.map.ln_valid.any():
-            return None
-        from ..backend.residuals import line_obs_coeffs
-        from ..matching.line_matcher import search_lines_by_projection
-
-        cap = self.cfg.lines.n_lines
-        ids = np.nonzero(self.map.ln_valid)[0][:cap]
-        n = len(ids)
-        starts = np.zeros((cap, 3), np.float32)
-        ends = np.zeros((cap, 3), np.float32)
-        descs = np.zeros((cap, 32), np.uint8)
-        valid = np.zeros(cap, bool)
-        starts[:n] = self.map.ln_start[ids]
-        ends[:n] = self.map.ln_end[ids]
-        descs[:n] = self.map.ln_desc[ids]
-        valid[:n] = True
-        m = search_lines_by_projection(
-            jnp.asarray(starts), jnp.asarray(ends), jnp.asarray(descs),
-            jnp.asarray(valid), jnp.asarray(self.R), jnp.asarray(self.t),
-            lf, self.cfg.camera,
-        )
-        mask, idx = jax.device_get((m.mask, m.idx))
-        if mask.sum() < 3:
-            return None
-        obs = line_obs_coeffs(lf.p0[m.idx], lf.p1[m.idx])
-        ln_assoc = np.full(lf.n, -1, np.int32)
-        rows = np.nonzero(mask)[0]
-        ln_assoc[idx[rows[rows < n]]] = ids[rows[rows < n]]
-        self.cur_ln_assoc = ln_assoc
-        return {
-            "line_start_w": jnp.asarray(starts),
-            "line_end_w": jnp.asarray(ends),
-            "line_obs": obs,
-            "line_octave": jnp.zeros(cap, jnp.int32),
-            "line_valid": jnp.asarray(mask & valid),
-        }
 
     # ------------------------------------------------------------------
-    def _need_keyframe(self, frame: Frame, assoc, n_inliers):
+    def _need_keyframe(self, n_inliers: int, tracked_close: int,
+                       untracked_close: int):
         cfg = self.cfg.tracking
         if self.localization_only:
             return False
         if self.map._next_kf >= self.cfg.map.max_keyframes - 2:
             return False
-        depth = self.cur_fh.depth
-        valid = self.cur_fh.valid
-        close = valid & (depth > 0) & (depth < cfg.th_depth * self.cfg.camera.baseline)
-        tracked_close = int((close & (assoc >= 0)).sum())
-        untracked_close = int((close & (assoc < 0)).sum())
         need_close = tracked_close < 100 and untracked_close > 70
-        is_mono = not bool((depth > 0).any())
+        is_mono = self.is_mono
         # Mono inserts more eagerly (reference: thRefRatio 0.9 mono,
         # 0.75 stereo) since landmarks only come from triangulation.
         ref_ratio = 0.9 if is_mono else 0.75
@@ -576,7 +571,7 @@ class Tracker:
 
     def _create_keyframe(self, frame: Frame, assoc, timestamp):
         cfg = self.cfg
-        fh = self.cur_fh
+        fh = self._fh(frame)  # full frame mirror: fetched per-KF only
         self.flush_pending_ba()
         kf = self.map.add_keyframe(
             fh, self.R, self.t, self.frame_id, timestamp, lm_assoc=assoc
@@ -658,7 +653,7 @@ class Tracker:
         self.ref_kf = kf
         # Tracking quality at creation time (floor avoids KF starvation
         # in sparse scenes).
-        self.ref_kf_matches = max(int((np.asarray(frame.valid) & (assoc >= 0)).sum()), 40)
+        self.ref_kf_matches = max(int((fh.valid & (assoc >= 0)).sum()), 40)
         if self.on_keyframe is not None:
             self.on_keyframe(kf)
             # A loop closure may have rewritten keyframe poses; ride
@@ -687,9 +682,9 @@ class Tracker:
             )
         if lpack is not None:
             from ..backend.line_ba import bundle_adjust_pl
-            from ..geometry.lines3d import (
-                orthonormal_from_pluecker,
-                pluecker_from_endpoints,
+            from ..geometry.host import (
+                northonormal_from_pluecker,
+                npluecker_from_endpoints,
             )
 
             ids = lpack["ln_ids"]
@@ -700,9 +695,13 @@ class Tracker:
             s_w[: len(ids)] = self.map.ln_start[ids]
             e_w[: len(ids)] = self.map.ln_end[ids]
             lval[: len(ids)] = True
-            U0, w0 = orthonormal_from_pluecker(
-                *pluecker_from_endpoints(jnp.asarray(s_w), jnp.asarray(e_w))
+            # Host math: eager jnp here would dispatch one-op XLA
+            # programs per keyframe (geometry/host.py rationale).
+            U0, w0 = northonormal_from_pluecker(
+                *npluecker_from_endpoints(s_w, e_w)
             )
+            U0 = jnp.asarray(U0)
+            w0 = jnp.asarray(w0)
             res = bundle_adjust_pl(
                 jnp.asarray(pack["R"]), jnp.asarray(pack["t"]),
                 jnp.asarray(pack["cam_fixed"]),

@@ -478,22 +478,20 @@ class MapStore:
 
     def apply_line_ba_result(self, lpack, line_U, line_w, lobs_inlier):
         """Write back optimized 3D lines (endpoints re-anchored by
-        closest-point projection onto the optimized infinite line)."""
-        import jax.numpy as jnp
-
-        from ..geometry.lines3d import (
-            closest_points_on_line,
-            pluecker_from_orthonormal,
+        closest-point projection onto the optimized infinite line).
+        Pure host numpy: variable-length ids would recompile eager XLA
+        ops at every keyframe."""
+        from ..geometry.host import (
+            nclosest_points_on_line,
+            npluecker_from_orthonormal,
         )
 
         ids = lpack["ln_ids"]
-        n, v = pluecker_from_orthonormal(
-            jnp.asarray(line_U[: len(ids)]), jnp.asarray(line_w[: len(ids)])
+        n, v = npluecker_from_orthonormal(
+            np.asarray(line_U[: len(ids)]), np.asarray(line_w[: len(ids)])
         )
-        s_new = closest_points_on_line(n, v, jnp.asarray(self.ln_start[ids]))
-        e_new = closest_points_on_line(n, v, jnp.asarray(self.ln_end[ids]))
-        self.ln_start[ids] = np.asarray(s_new)
-        self.ln_end[ids] = np.asarray(e_new)
+        self.ln_start[ids] = nclosest_points_on_line(n, v, self.ln_start[ids])
+        self.ln_end[ids] = nclosest_points_on_line(n, v, self.ln_end[ids])
         inl = np.asarray(lobs_inlier)
         for o in np.nonzero(~inl[: lpack["n_lobs"]] & lpack["lobs_valid"][: lpack["n_lobs"]])[0]:
             self.kf_ln_obs[lpack["lobs_kf"][o], lpack["lobs_slot"][o]] = -1
