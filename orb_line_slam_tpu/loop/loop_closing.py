@@ -19,6 +19,7 @@ import numpy as np
 
 from ..backend.local_ba import bundle_adjust
 from ..backend.pose_graph import optimize_pose_graph
+from ..backend.sim3_opt import optimize_sim3
 from ..backend.sim3_solver import solve_sim3_ransac
 from ..config import SlamConfig
 from ..geometry.host import (
@@ -30,7 +31,7 @@ from ..geometry.host import (
     nsim3_compose,
     nsim3_inverse,
 )
-from ..matching.point_matcher import match_descriptors
+from ..matching.point_matcher import match_descriptors, search_by_sim3_dir
 from ..slam_map.keyframe_db import KeyFrameDatabase
 from ..slam_map.map_store import MapStore
 from .vocabulary import Vocabulary
@@ -65,6 +66,10 @@ class LoopCloser:
         # (map-version interruption instead of a stop flag).
         self.gba_async = False
         self._pending_gba = None
+        # Monocular maps drift in scale, so the loop Sim3 must estimate
+        # it (Sim3Solver's bFixScale=false); stereo/RGB-D pin s=1.
+        # System sets this from the tracker's sensor type.
+        self.fix_scale = True
 
     # ------------------------------------------------------------------
     def process_keyframe(self, kf_id: int, run_gba: bool = True) -> bool:
@@ -178,13 +183,125 @@ class LoopCloser:
             solve_sim3_ransac(
                 jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(valid),
                 jax.random.PRNGKey(kf_id), self.cfg.camera, self.cfg.camera,
-                jnp.ones(N), jnp.ones(N), fix_scale=True, n_hyps=256,
+                jnp.ones(N), jnp.ones(N), fix_scale=self.fix_scale,
+                n_hyps=256,
             )
         )
         if int(count) < 20:
             return False, None
-        # T_cur<-cand as Sim3 in camera frames: x_cur = s R x_cand + t
-        return True, (float(s), R, t)
+
+        # --- guided SearchBySim3 + OptimizeSim3 (ComputeSim3's second
+        # half, §3.4): grow the match set by projecting each keyframe's
+        # landmarks into the other with the RANSAC Sim3, then refine the
+        # 7-DoF (mono) / 6-DoF (stereo) estimate with bidirectional
+        # reprojection GN and a chi2=10 gate.  Only RANSAC INLIER
+        # matches seed the refinement (the reference keeps only
+        # vbInliers of vpMatches12 before SearchBySim3).
+        keep = np.zeros(len(rows), bool)
+        keep[:n] = np.asarray(inl)[:n]
+        refined = self._refine_sim3(
+            kf_id, cand, float(s), R, t, rows[keep], lm1[keep], lm2[keep]
+        )
+        if refined is None:
+            return False, None
+        return True, refined
+
+    # ------------------------------------------------------------------
+    def _refine_sim3(self, kf_id, cand, s, R, t, rows_bow, lm1_bow, lm2_bow):
+        """SearchBySim3 (mutual guided matching) + optimize_sim3.
+        Returns the refined (s, R, t) of T_{cur<-cand} or None if fewer
+        than 20 inliers survive (the reference's acceptance bar)."""
+        store = self.map
+        cam = self.cfg.camera
+        scales = self.cfg.orb.level_scales
+
+        R1, t1 = store.kf_R[kf_id], store.kf_t[kf_id]
+        R2, t2 = store.kf_R[cand], store.kf_t[cand]
+        lm_cur = store.kf_obs_lm[kf_id]
+        lm_cand = store.kf_obs_lm[cand]
+        m_cur = (
+            store.kf_feat_valid[kf_id] & (lm_cur >= 0)
+            & store.pt_valid[np.clip(lm_cur, 0, None)]
+        )
+        m_cand = (
+            store.kf_feat_valid[cand] & (lm_cand >= 0)
+            & store.pt_valid[np.clip(lm_cand, 0, None)]
+        )
+        # Landmarks in each keyframe's own camera frame.
+        p_cur = nse3_apply(R1, t1, store.pt_pos[np.clip(lm_cur, 0, None)])
+        p_cand = nse3_apply(R2, t2, store.pt_pos[np.clip(lm_cand, 0, None)])
+        # cand landmarks into cur's frame via S12; cur's into cand via S21.
+        si, Ri, ti = nsim3_inverse(s, R, t)
+        p_cand_in_cur = nsim3_apply(s, R, t, p_cand)
+        p_cur_in_cand = nsim3_apply(si, Ri, ti, p_cur)
+
+        mA = search_by_sim3_dir(
+            jnp.asarray(p_cand_in_cur), jnp.asarray(store.kf_desc[cand]),
+            jnp.asarray(m_cand), jnp.asarray(store.kf_xy[kf_id]),
+            jnp.asarray(store.kf_desc[kf_id]),
+            jnp.asarray(store.kf_oct[kf_id]),
+            jnp.asarray(m_cur), cam, scales,
+        )
+        mB = search_by_sim3_dir(
+            jnp.asarray(p_cur_in_cand), jnp.asarray(store.kf_desc[kf_id]),
+            jnp.asarray(m_cur), jnp.asarray(store.kf_xy[cand]),
+            jnp.asarray(store.kf_desc[cand]),
+            jnp.asarray(store.kf_oct[cand]),
+            jnp.asarray(m_cand), cam, scales,
+        )
+        idxA = np.asarray(mA.idx)   # cand row -> cur row
+        idxB = np.asarray(mB.idx)   # cur row -> cand row
+        cand_rows = np.nonzero(np.asarray(mA.mask))[0]
+        cur_of = idxA[cand_rows]
+        mutual = (cur_of >= 0) & (idxB[np.clip(cur_of, 0, None)] == cand_rows)
+        pairs_cur = cur_of[mutual]
+        pairs_cand = cand_rows[mutual]
+
+        # Union with the BoW/RANSAC matches (cur row, cand landmark) —
+        # keyed by cur feature row to avoid duplicates.
+        cand_row_of_lm = np.full(store.pt_pos.shape[0], -1, np.int64)
+        cand_row_of_lm[lm_cand[m_cand]] = np.nonzero(m_cand)[0]
+        seen = set(pairs_cur.tolist())
+        add_cur, add_cand = [], []
+        for r_cur, l2 in zip(rows_bow, lm2_bow):
+            rc = cand_row_of_lm[l2]
+            if rc >= 0 and int(r_cur) not in seen:
+                add_cur.append(int(r_cur))
+                add_cand.append(int(rc))
+                seen.add(int(r_cur))
+        all_cur = np.concatenate([pairs_cur, np.asarray(add_cur, np.int64)])
+        all_cand = np.concatenate([pairs_cand, np.asarray(add_cand, np.int64)])
+        if len(all_cur) < 20:
+            return None
+
+        N = 512
+        n = min(len(all_cur), N)
+        pts1 = np.zeros((N, 3), np.float32)
+        pts2 = np.zeros((N, 3), np.float32)
+        obs1 = np.zeros((N, 2), np.float32)
+        obs2 = np.zeros((N, 2), np.float32)
+        s2_1 = np.ones(N, np.float32)
+        s2_2 = np.ones(N, np.float32)
+        valid = np.zeros(N, bool)
+        sc = np.asarray(scales, np.float32)
+        pts1[:n] = p_cur[all_cur[:n]]
+        pts2[:n] = p_cand[all_cand[:n]]
+        obs1[:n] = store.kf_xy[kf_id][all_cur[:n]]
+        obs2[:n] = store.kf_xy[cand][all_cand[:n]]
+        s2_1[:n] = sc[np.clip(store.kf_oct[kf_id][all_cur[:n]], 0, len(sc) - 1)] ** 2
+        s2_2[:n] = sc[np.clip(store.kf_oct[cand][all_cand[:n]], 0, len(sc) - 1)] ** 2
+        valid[:n] = True
+
+        res = optimize_sim3(
+            jnp.float32(s), jnp.asarray(R, jnp.float32), jnp.asarray(t, jnp.float32),
+            jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(obs1),
+            jnp.asarray(obs2), jnp.asarray(s2_1), jnp.asarray(s2_2),
+            jnp.asarray(valid), cam, cam, fix_scale=self.fix_scale,
+        )
+        n_inl = int(res.n_inliers)
+        if n_inl < 20:
+            return None
+        return float(res.s), np.asarray(res.R), np.asarray(res.t)
 
     # ------------------------------------------------------------------
     def _correct(self, kf_id, cand, sim, run_gba=True):

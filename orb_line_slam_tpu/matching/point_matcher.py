@@ -180,6 +180,49 @@ def search_by_projection(
     return Matches(jnp.where(ok, idx, -1), d1, ok)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cam", "level_scales", "radius", "max_dist")
+)
+def search_by_sim3_dir(
+    pts_in_dst: jnp.ndarray,   # [M, 3] source landmarks in DEST camera frame
+    desc_src: jnp.ndarray,     # [M, 32]
+    valid_src: jnp.ndarray,    # [M]
+    xy_dst: jnp.ndarray,       # [N, 2] dest keypoints
+    desc_dst: jnp.ndarray,     # [N, 32]
+    oct_dst: jnp.ndarray,      # [N]
+    valid_dst: jnp.ndarray,    # [N]
+    cam: CameraIntrinsics,
+    level_scales,
+    radius: float = 7.5,
+    max_dist: int = TH_HIGH,
+) -> Matches:
+    """One direction of ORBmatcher::SearchBySim3: project the source
+    keyframe's landmarks (already transformed by the current Sim3 into
+    the destination camera frame) and match within a per-keypoint
+    scale-adapted pixel window, Hamming <= TH_HIGH, no ratio test —
+    exactly the reference's guided-match semantics.  The caller runs
+    both directions and keeps mutually-consistent pairs."""
+    from ..geometry.camera import project
+
+    scales = jnp.asarray(level_scales, dtype=jnp.float32)
+    uv = project(cam, pts_in_dst)
+    z = pts_in_dst[:, 2]
+    ok_src = (
+        valid_src
+        & (z > 0.05)
+        & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
+        & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+    )
+    du = uv[:, 0:1] - xy_dst[None, :, 0]
+    dv = uv[:, 1:2] - xy_dst[None, :, 1]
+    r = radius * scales[jnp.clip(oct_dst, 0, len(level_scales) - 1)]
+    close = (du * du + dv * dv) <= (r * r)[None, :]
+    dist = hamming_matrix(desc_src, desc_dst)
+    idx, d1, _ = knn2(dist, close & valid_dst[None, :])
+    ok = ok_src & (d1 <= max_dist)
+    return Matches(jnp.where(ok, idx, -1), d1, ok)
+
+
 @functools.partial(jax.jit, static_argnames=("n_targets",))
 def resolve_duplicates(matches: Matches, n_targets: int) -> Matches:
     """Keep only the lowest-distance landmark per frame keypoint (the

@@ -89,6 +89,9 @@ class System:
         if self.loop_closer is None:
             self.loop_closer = LoopCloser(self.cfg, self.tracker.map, self.voc)
             self.loop_closer.gba_async = self.gba_async
+            # Mono maps drift in scale: loop Sim3 estimates s (the
+            # reference's bFixScale = sensor != MONOCULAR).
+            self.loop_closer.fix_scale = not self.tracker.is_mono
             self.tracker.reloc_candidates_fn = self._reloc_candidates
         # Apply a finished in-flight global BA before touching the map
         # (the reference applies GBA results between keyframes too).

@@ -82,9 +82,18 @@ def build_drifted_map():
         ids = store.add_points(
             pts_w, descs[:n_own], np.zeros(n_own, np.int32), kf, np.arange(n_own)
         )
-        # shared observations of the previous KF's landmarks
+        # shared observations of the previous KF's landmarks — placed at
+        # their TRUE projections into this camera, as real tracking
+        # would observe them (the Sim3 refinement checks bidirectional
+        # reprojection consistency, so fixture geometry must cohere).
         if prev_ids is not None:
             store.kf_obs_lm[kf, n_own:] = prev_ids[:n_shared]
+            p_cam = store.pt_pos[prev_ids[:n_shared]] @ R.T + t_est
+            u = CAM.fx * p_cam[:, 0] / p_cam[:, 2] + CAM.cx
+            v = CAM.fy * p_cam[:, 1] / p_cam[:, 2] + CAM.cy
+            store.kf_xy[kf, n_own:] = np.stack([u, v], -1)
+            store.kf_ur[kf, n_own:] = u - CAM.bf / p_cam[:, 2]
+            store.kf_depth[kf, n_own:] = p_cam[:, 2]
         prev_ids = ids
         prev_place = place
 

@@ -182,3 +182,86 @@ class TestPoseGraph:
         err1 = np.linalg.norm(np.asarray(t) - t_gt, axis=-1).max()
         assert err1 < 0.05 * err0, f"pose graph barely helped: {err0:.3f}->{err1:.3f}"
         np.testing.assert_allclose(np.asarray(s), 1.0, atol=1e-3)
+
+
+class TestOptimizeSim3:
+    """g2o OptimizeSim3 equivalent: bidirectional-reprojection GN over
+    the Sim3 tangent (backend/sim3_opt.py)."""
+
+    def _problem(self, s_gt, n=80, noise=0.3, n_out=10):
+        from orb_line_slam_tpu.geometry.camera import project
+
+        cam = CameraIntrinsics(fx=400.0, fy=400.0, cx=320.0, cy=240.0,
+                               bf=80.0, width=640, height=480)
+        p2 = np.stack(
+            [RNG.uniform(-3, 3, n), RNG.uniform(-2, 2, n), RNG.uniform(4, 12, n)],
+            -1,
+        ).astype(np.float32)
+        R_gt = np.asarray(so3_exp(jnp.asarray([0.05, 0.25, -0.04])))
+        t_gt = np.array([0.8, 0.1, -0.4], np.float32)
+        p1 = (s_gt * p2 @ R_gt.T + t_gt).astype(np.float32)
+        obs1 = np.array(project(cam, jnp.asarray(p1)))
+        obs2 = np.array(project(cam, jnp.asarray(p2)))
+        # corrupt some observations (outliers the chi2 gate must drop)
+        obs1[:n_out] += RNG.uniform(20, 60, (n_out, 2)).astype(np.float32)
+        return cam, p1, p2, obs1, obs2, R_gt, t_gt
+
+    def test_recovers_scale_mono(self):
+        from orb_line_slam_tpu.backend.sim3_opt import optimize_sim3
+
+        s_gt = 1.35
+        cam, p1, p2, obs1, obs2, R_gt, t_gt = self._problem(s_gt)
+        n = len(p1)
+        # perturbed initial guess
+        dR = np.asarray(so3_exp(jnp.asarray([0.02, -0.03, 0.01])))
+        res = optimize_sim3(
+            jnp.float32(1.2), jnp.asarray(dR @ R_gt), jnp.asarray(t_gt + 0.1),
+            jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(obs1),
+            jnp.asarray(obs2), jnp.ones(n), jnp.ones(n),
+            jnp.ones(n, bool), cam, cam, fix_scale=False,
+        )
+        assert int(res.n_inliers) >= n - 10 - 5
+        np.testing.assert_allclose(float(res.s), s_gt, atol=2e-2)
+        np.testing.assert_allclose(np.asarray(res.R), R_gt, atol=5e-3)
+        # outlier rows must be gated out
+        assert np.asarray(res.inliers)[:10].sum() <= 2
+
+    def test_fix_scale_stays_pinned(self):
+        from orb_line_slam_tpu.backend.sim3_opt import optimize_sim3
+
+        cam, p1, p2, obs1, obs2, R_gt, t_gt = self._problem(1.0)
+        n = len(p1)
+        dR = np.asarray(so3_exp(jnp.asarray([0.03, 0.01, -0.02])))
+        res = optimize_sim3(
+            jnp.float32(1.0), jnp.asarray(dR @ R_gt), jnp.asarray(t_gt - 0.05),
+            jnp.asarray(p1), jnp.asarray(p2), jnp.asarray(obs1),
+            jnp.asarray(obs2), jnp.ones(n), jnp.ones(n),
+            jnp.ones(n, bool), cam, cam, fix_scale=True,
+        )
+        np.testing.assert_allclose(float(res.s), 1.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(res.R), R_gt, atol=5e-3)
+        np.testing.assert_allclose(np.asarray(res.t), t_gt, atol=5e-2)
+
+    def test_search_by_sim3_mutual(self):
+        from orb_line_slam_tpu.matching.point_matcher import search_by_sim3_dir
+
+        cam = CameraIntrinsics(fx=400.0, fy=400.0, cx=320.0, cy=240.0,
+                               bf=80.0, width=640, height=480)
+        from orb_line_slam_tpu.geometry.camera import project
+
+        n = 64
+        pts = np.stack(
+            [RNG.uniform(-2, 2, n), RNG.uniform(-1.5, 1.5, n),
+             RNG.uniform(4, 10, n)], -1,
+        ).astype(np.float32)
+        uv = np.asarray(project(cam, jnp.asarray(pts)))
+        desc = RNG.integers(0, 256, (n, 32), dtype=np.uint8)
+        m = search_by_sim3_dir(
+            jnp.asarray(pts), jnp.asarray(desc), jnp.ones(n, bool),
+            jnp.asarray(uv), jnp.asarray(desc),
+            jnp.zeros(n, jnp.int32), jnp.ones(n, bool),
+            cam, (1.0, 1.2, 1.44), radius=7.5,
+        )
+        # identical descriptors at the projected locations: identity match
+        assert bool(m.mask.all())
+        np.testing.assert_array_equal(np.asarray(m.idx), np.arange(n))
