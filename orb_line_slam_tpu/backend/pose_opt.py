@@ -104,11 +104,15 @@ def pose_optimize(
             w_p = jnp.where(p_in, w_p, 0.0)
             w_l = jnp.where(l_in, w_l, 0.0)
 
-            H = jnp.einsum("mdi,mdj,m->ij", Jp, Jp, w_p) + jnp.einsum(
-                "ldi,ldj,l->ij", Jl, Jl, w_l
+            # HIGHEST: the 6x6 normal equations contract over thousands
+            # of observations — TPU's default bf16 matmul injects ~0.4%
+            # noise into H for zero savings at this size.
+            hp = jax.lax.Precision.HIGHEST
+            H = jnp.einsum("mdi,mdj,m->ij", Jp, Jp, w_p, precision=hp) + jnp.einsum(
+                "ldi,ldj,l->ij", Jl, Jl, w_l, precision=hp
             )
-            g = jnp.einsum("mdi,md,m->i", Jp, pr, w_p) + jnp.einsum(
-                "ldi,ld,l->i", Jl, lr, w_l
+            g = jnp.einsum("mdi,md,m->i", Jp, pr, w_p, precision=hp) + jnp.einsum(
+                "ldi,ld,l->i", Jl, lr, w_l, precision=hp
             )
             err0 = jnp.sum(jnp.where(p_in, c_p * jnp.where(use_huber, huber_weight(c_p, CHI2_STEREO), 1.0), 0.0)) + jnp.sum(
                 jnp.where(l_in, c_l, 0.0)

@@ -65,10 +65,14 @@ def build_line_features(
     matched right-image segment (rectified pair)."""
     imgL = img_left.astype(jnp.float32)
     imgR = img_right.astype(jnp.float32)
-    ll = extract_line_features(imgL, cfg)
-    lr = extract_line_features(imgR, cfg)
-    descL = lbd_descriptors(imgL, ll.p0, ll.p1, ll.valid)
-    descR = lbd_descriptors(imgR, lr.p0, lr.p1, lr.valid)
+    from ..ops.image import sobel_gradients
+
+    gradsL = sobel_gradients(imgL)
+    gradsR = sobel_gradients(imgR)
+    ll = merge_collinear(detect_lines(imgL, n_lines=cfg.n_lines, grads=gradsL))
+    lr = merge_collinear(detect_lines(imgR, n_lines=cfg.n_lines, grads=gradsR))
+    descL = lbd_descriptors(imgL, ll.p0, ll.p1, ll.valid, grads=gradsL)
+    descR = lbd_descriptors(imgR, lr.p0, lr.p1, lr.valid, grads=gradsR)
 
     # --- stereo association: Hamming + angle + vertical overlap ---
     dist = hamming_matrix(descL, descR)

@@ -78,11 +78,18 @@ def blur_tiles(tiles: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.n
         dn = jax.lax.conv_dimension_numbers(
             x.shape, kh.shape, ("NCHW", "OIHW", "NCHW")
         )
+        # HIGHEST: TPU's default bf16 conv adds ~0.25 noise at pixel
+        # magnitude; BRIEF bits compare pairs of these blurred values,
+        # so that noise flips borderline bits (measured: ~4 bits of
+        # CPU-vs-TPU descriptor disagreement, enough to halve tracking
+        # inliers through the TH_LOW/ratio gates).
         x = jax.lax.conv_general_dilated(
-            x, kh, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn
+            x, kh, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return jax.lax.conv_general_dilated(
-            x, kv, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn
+            x, kv, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     out = conv(tiles[:, None, :, :])[:, 0]
@@ -164,6 +171,7 @@ def extract_orb_stereo(img_left: jnp.ndarray, img_right: jnp.ndarray, cfg: OrbCo
 
     per_image = []
     atlases = []
+    offs = None
     for image in (img_left, img_right):
         img = image.astype(jnp.float32)
         levels = build_pyramid(img, cfg.n_levels, cfg.scale_factor)
@@ -212,4 +220,4 @@ def extract_orb_stereo(img_left: jnp.ndarray, img_right: jnp.ndarray, cfg: OrbCo
                 valid=valid,
             )
         )
-    return feats[0], tiles[:n], feats[1], tiles[n:]
+    return feats[0], tiles[:n], feats[1], tiles[n:], atlases[1], offs

@@ -4,17 +4,28 @@ TPU-native rebuild of Frame::ComputeStereoMatches (src/Frame.cc,
 SURVEY.md §2.1 row 5, §3.2 "hot loop 3").  The reference loops over
 left features, scanning row-compatible right candidates; here the whole
 search is one masked [N, N] Hamming matrix (an int8 MXU matmul) and the
-SAD refinement is a batched gather over a pyramid atlas:
+SAD refinement is a batched Pallas window gather over the right pyramid
+atlas:
 
   1. candidate mask = same row band (radius 2*scale of the right
-     keypoint's octave) AND compatible octave (+-1) AND disparity in
-     (min_disp, max_disp);
+     keypoint's octave) AND compatible octave (+-1, as the reference)
+     AND disparity in (min_disp, max_disp);
   2. best Hamming match per left feature, gated at
-     (TH_LOW+TH_HIGH)/2 = 75 as the reference;
-  3. 11x11 center-normalized SAD over a +-5 px slide at the keypoint's
-     own pyramid level, parabola-fit sub-pixel minimum;
+     (TH_LOW+TH_HIGH)/2 = 75 as the reference, plus mutual-best and
+     runner-up separation (see below);
+  3. 11x11 center-normalized SAD over a +-5 px slide at the LEFT
+     keypoint's pyramid level — the right window is re-sampled from the
+     right image's same level (bilinear), exactly the reference's
+     scaleduR0 convention — with parabola-fit sub-pixel minimum;
   4. median-deviation outlier rejection over SAD scores;
   5. depth = bf / disparity.
+
+The mutual/separation gates (not in the reference) exist because a
+single spurious near-depth match has ~fx/z leverage in pose
+optimization: one z~1 m ghost from a wrong 174-px-disparity match was
+measured to bias a whole frame pose by 0.16 m while passing every chi2
+gate.  The full distance matrix is already on chip, so both gates are
+free.
 """
 
 from __future__ import annotations
@@ -28,11 +39,18 @@ import jax.numpy as jnp
 from ..config import OrbConfig
 from ..geometry.camera import CameraIntrinsics
 from ..ops.hamming import hamming_matrix, knn2
-from ..ops.image import bilinear_sample
+
+import os
 
 SAD_W = 5       # half window -> 11x11
 SAD_SLIDE = 5   # +-5 px slide
 TH_STEREO = 75  # (TH_LOW + TH_HIGH)/2
+# Runner-up separation margin: 0 = mutual-best only.  Measured on the
+# synthetic out-and-back: a margin of 5 cuts ~10% of good depths and
+# WORSENS ATE 4x (0.015 -> 0.059); the +-1-octave candidate fix plus the
+# mutual gate is what kills ghost matches, not separation.
+SEP_MARGIN = int(os.environ.get("OLS_STEREO_SEP", "0"))
+CURVE_RATIO = float(os.environ.get("OLS_STEREO_CURVE", "0.8"))
 
 
 class StereoMatch(NamedTuple):
@@ -73,18 +91,20 @@ def stereo_match(
     featL,
     featR,
     tilesL: jnp.ndarray,
-    tilesR: jnp.ndarray,
+    atlasR: jnp.ndarray,
+    offsR: jnp.ndarray,
     cam: CameraIntrinsics,
     orb_cfg: OrbConfig,
 ) -> StereoMatch:
-    """Stereo association reusing the extraction patch tiles.
+    """Stereo association.
 
-    tilesL/tilesR: [N, 32, 32] raw-image tiles at each keypoint's own
+    tilesL: [N, 32, 32] raw-image tiles at each left keypoint's own
     pyramid level, keypoint at tile index (15, 15) — produced by
-    extract_orb_with_tiles.  The SAD windows are pure static slices of
-    these tiles (the matched right keypoint differs from the left one
-    by <= 2 rows at level scale, handled by a 5-way row select), so the
-    refinement adds NO gather/DMA traffic at all.
+    extract_orb_with_tiles.  atlasR/offsR: the right image's pyramid
+    atlas and per-level row offsets; the SAD window is re-sampled from
+    the LEFT keypoint's level of this atlas at the matched right
+    keypoint's scaled column (reference Frame.cc: scaleduR0), which is
+    what makes +-1-octave candidates legal.
     """
     scales = jnp.asarray(orb_cfg.level_scales, dtype=jnp.float32)
     uL, vL = featL.xy[:, 0], featL.xy[:, 1]
@@ -92,46 +112,44 @@ def stereo_match(
     octL, octR = featL.octave, featR.octave
 
     min_disp = 0.1
-    max_disp = cam.bf / max(cam.baseline, 1e-6)  # = fx: depth >= baseline
+    # depth >= 2*baseline (reference allows depth >= baseline = fx max
+    # disparity; the tighter bound cuts the highest-leverage ghost
+    # depths — a z~2*b point has ~fx/z leverage on the pose — while true
+    # points that close are out of frame in automotive/indoor data).
+    max_disp = cam.bf / max(2.0 * cam.baseline, 1e-6)
 
     dist = hamming_matrix(featL.desc, featR.desc)
     band = 2.0 * scales[octR]
     row_ok = jnp.abs(vL[:, None] - vR[None, :]) <= band[None, :]
-    # Same octave required so the SAD tiles share one pyramid scale
-    # (the reference tolerates +-1 but then re-samples at the left
-    # level; with tile reuse equal octaves keep the math exact).
-    oct_ok = octL[:, None] == octR[None, :]
+    # +-1 octave as the reference (ORBmatcher-style scale tolerance).
+    # Equal-octave-only was measured to DROP the true match for ~2% of
+    # features (detected one level off in the right image), leaving a
+    # garbage candidate free to win the Hamming vote.
+    oct_ok = jnp.abs(octL[:, None] - octR[None, :]) <= 1
     disp = uL[:, None] - uR[None, :]
     disp_ok = (disp > min_disp) & (disp < max_disp)
     valid = row_ok & oct_ok & disp_ok & featR.valid[None, :] & featL.valid[:, None]
 
-    best_idx, best_d, _ = knn2(dist, valid)
-    matched = best_d < TH_STEREO
+    best_idx, best_d, second_d = knn2(dist, valid)
+    big = jnp.int32(512)
+    dist_m = jnp.where(valid, dist, big)
+    col_best = jnp.argmin(dist_m, axis=0)  # best left row per right feature
+    mutual = col_best[best_idx] == jnp.arange(dist.shape[0])
+    separated = best_d + SEP_MARGIN <= second_d
+    matched = (best_d < TH_STEREO) & mutual & separated
 
-    # --- SAD sub-pixel refinement at the keypoints' shared level ---
+    # --- SAD sub-pixel refinement at the LEFT keypoint's level ---------
     sc = scales[octL]
-    xl = uL / sc                 # integer level coords of the left kp
     uR0 = uR[best_idx]
-    xr = uR0 / sc                # same octave -> same scale
-    # Row offset between left and matched right keypoint rows at level
-    # scale (|dv| <= ~2 by the band gate).
-    dv = jnp.round((vL - vR[best_idx]) / sc).astype(jnp.int32)
-    dv = jnp.clip(dv, -2, 2)
+    xr0 = uR0 / sc                       # scaled right column (fractional)
+    yl = vL / sc                         # integer at the left level
+    cy = yl + offsR[octL].astype(jnp.float32)  # atlas row
 
     c = 15  # tile center index
     patchL = tilesL[:, c - SAD_W : c + SAD_W + 1, c - SAD_W : c + SAD_W + 1]
     patchL = patchL - patchL[:, SAD_W : SAD_W + 1, SAD_W : SAD_W + 1]
 
-    tR = tilesR[best_idx]  # [N, 32, 32]
-    # 5-way select over the row offset: strip rows c+dv-5 .. c+dv+5.
-    stripR = jnp.zeros(
-        (tR.shape[0], 2 * SAD_W + 1, 2 * (SAD_W + SAD_SLIDE) + 1), tR.dtype
-    )
-    for d in range(-2, 3):
-        r0 = c + d - SAD_W
-        c0 = c - SAD_W - SAD_SLIDE
-        sl = tR[:, r0 : r0 + 2 * SAD_W + 1, c0 : c0 + 2 * (SAD_W + SAD_SLIDE) + 1]
-        stripR = stripR + jnp.where((dv == d)[:, None, None], sl, 0.0)
+    stripR = _gather_window(atlasR, xr0, cy, SAD_W, extra=SAD_SLIDE)
 
     n_off = 2 * SAD_SLIDE + 1
     sads = []
@@ -150,7 +168,7 @@ def stereo_match(
     delta = jnp.where(jnp.abs(denom) > 1e-6, (s0 - s2) / (2.0 * denom), 0.0)
     interior = (best_k > 0) & (best_k < n_off - 1) & (jnp.abs(delta) <= 1.0)
 
-    u_right = (xr + (best_k - SAD_SLIDE).astype(jnp.float32) + delta) * sc
+    u_right = (xr0 + (best_k - SAD_SLIDE).astype(jnp.float32) + delta) * sc
     disparity = uL - u_right
     geom_ok = (disparity > min_disp) & (disparity < max_disp)
 
@@ -161,7 +179,12 @@ def stereo_match(
     med = jnp.where(jnp.isnan(med), jnp.inf, med)
     sad_ok = s1 <= 2.1 * med
 
-    ok = matched & interior & geom_ok & sad_ok & featL.valid
+    # Distinct-minimum gate: a true correspondence has a sharp SAD
+    # valley; a garbage pairing (similar texture, wrong place) is flat.
+    # Require the center minimum to beat the slide edges by a margin.
+    curve_ok = s1 <= CURVE_RATIO * jnp.minimum(sad[:, 0], sad[:, -1]) + 1e-3
+
+    ok = matched & interior & geom_ok & sad_ok & curve_ok & featL.valid
     depth = jnp.where(ok, cam.bf / jnp.maximum(disparity, min_disp), -1.0)
     return StereoMatch(
         u_right=jnp.where(ok, u_right, -1.0),

@@ -184,10 +184,21 @@ def brief_descriptors_from_tiles(
     bins = quantize_angle(angles)
     if jax.default_backend() == "tpu":
         tables = jnp.asarray(_onehot_tables(), jnp.bfloat16)
-        flat = tiles_blur.reshape(n, -1).astype(jnp.bfloat16)
+        # Split-precision selection: the one-hot matmul is exact in the
+        # table (0/1 is exact bf16) but a plain bf16 cast of the blurred
+        # pixel values loses ~0.25 at magnitude ~128, which flips
+        # borderline BRIEF comparisons (i1 < i2) and was measured to add
+        # ~4 noisy bits per descriptor vs the exact CPU gather — enough
+        # to halve tracking inliers.  hi = bf16(v), lo = bf16(v - hi)
+        # recovers f32-level accuracy (|err| < 1e-3) with two bf16 MXU
+        # matmuls instead of one.
+        flat32 = tiles_blur.reshape(n, -1).astype(jnp.float32)
+        hi = flat32.astype(jnp.bfloat16)
+        lo = (flat32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
         vals = jnp.zeros((n, 512), jnp.float32)
         for b in range(N_ANGLE_BINS):
-            vb = jnp.dot(flat, tables[b], preferred_element_type=jnp.float32)
+            vb = jnp.dot(hi, tables[b], preferred_element_type=jnp.float32)
+            vb = vb + jnp.dot(lo, tables[b], preferred_element_type=jnp.float32)
             vals = vals + jnp.where((bins == b)[:, None], vb, 0.0)
     else:
         # CPU tests: identical math via per-keypoint index gather.

@@ -28,11 +28,16 @@ def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.
     kh = k.reshape(1, 1, 1, -1)
     kv = k.reshape(1, 1, -1, 1)
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    # HIGHEST precision: TPU's default bf16 conv loses ~0.25 at pixel
+    # magnitude, which flips borderline BRIEF bits downstream (the bits
+    # compare pairs of blurred pixels).
     x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn
+        x, kh, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
     )
     x = jax.lax.conv_general_dilated(
-        x, kv, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn
+        x, kv, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return x[0, 0]
 
@@ -67,18 +72,25 @@ def sobel_gradients(img: jnp.ndarray):
     x = img[None, None]
     dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, 3, 3), ("NCHW", "OIHW", "NCHW"))
     gx = jax.lax.conv_general_dilated(
-        x, kx[None, None], (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn
+        x, kx[None, None], (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
     )[0, 0]
     gy = jax.lax.conv_general_dilated(
-        x, ky[None, None], (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn
+        x, ky[None, None], (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
     )[0, 0]
     return gx, gy
 
 
 def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Sample 2D image at float coords xy (..., 2) = (x, y), bilinear,
-    clamped to borders. Gather-based: vectorizes over any batch shape."""
+    clamped to borders. Gather-based: vectorizes over any batch shape.
+
+    Indexes the flattened image with a single fused index (y*w + x):
+    1-D `take` lowers to a fast TPU gather, while the equivalent 2-D
+    advanced indexing lowers ~4x slower (measured on v5e)."""
     h, w = img.shape
+    flat = img.reshape(-1)
     x = jnp.clip(xy[..., 0], 0.0, w - 1.001)
     y = jnp.clip(xy[..., 1], 0.0, h - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
@@ -87,10 +99,12 @@ def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     y1 = jnp.minimum(y0 + 1, h - 1)
     fx = x - x0
     fy = y - y0
-    v00 = img[y0, x0]
-    v01 = img[y0, x1]
-    v10 = img[y1, x0]
-    v11 = img[y1, x1]
+    r0 = y0 * w
+    r1 = y1 * w
+    v00 = jnp.take(flat, r0 + x0)
+    v01 = jnp.take(flat, r0 + x1)
+    v10 = jnp.take(flat, r1 + x0)
+    v11 = jnp.take(flat, r1 + x1)
     return (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)
@@ -101,11 +115,12 @@ def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
 
 def nearest_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbour sample (used by BRIEF's rotated pattern, which
-    OpenCV rounds with cvRound)."""
+    OpenCV rounds with cvRound).  Flat-index gather: see
+    bilinear_sample for the TPU lowering rationale."""
     h, w = img.shape
     x = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, w - 1)
     y = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, h - 1)
-    return img[y, x]
+    return jnp.take(img.reshape(-1), y * w + x)
 
 
 def pyramid_atlas(levels: list[jnp.ndarray]):

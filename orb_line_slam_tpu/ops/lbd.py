@@ -51,13 +51,15 @@ def lbd_descriptors(
     p0: jnp.ndarray,
     p1: jnp.ndarray,
     valid: jnp.ndarray,
+    grads=None,
 ) -> jnp.ndarray:
     """Compute packed 32-byte LBD descriptors for L segments.
 
     img: [H, W] float; p0/p1: [L, 2] endpoints; valid: [L].
-    Returns uint8 [L, 32].
+    grads: optional precomputed (gx, gy) Sobel pair (shared with the
+    detector).  Returns uint8 [L, 32].
     """
-    gx, gy = sobel_gradients(img.astype(jnp.float32))
+    gx, gy = sobel_gradients(img.astype(jnp.float32)) if grads is None else grads
 
     d = p1 - p0
     length = jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-6

@@ -75,10 +75,14 @@ def detect_lines(
     n_lines: int = 128,
     min_mag: float = 30.0,
     cell: int = 24,
+    grads=None,
 ) -> DetectedLines:
-    """Detect up to n_lines segments in a 2D float/uint8 image."""
+    """Detect up to n_lines segments in a 2D float/uint8 image.
+
+    grads: optional precomputed (gx, gy) Sobel pair — lets the caller
+    share one gradient pass with the LBD stage."""
     x = img.astype(jnp.float32)
-    gx, gy = sobel_gradients(x)
+    gx, gy = sobel_gradients(x) if grads is None else grads
     mag = jnp.sqrt(gx * gx + gy * gy)
     # Zero the border: conv zero-padding fabricates huge step edges there.
     hh, ww = x.shape
@@ -125,16 +129,16 @@ def detect_lines(
         # cos(2(angle-theta)) > cos(2*tol): angle within tol of theta
         cos2 = a * jnp.cos(2 * theta)[:, None] + b * jnp.sin(2 * theta)[:, None]
         good = e & (cos2 > 0.0)
-        # Gap-tolerant run length: count of steps before GAP_TOL+1
-        # consecutive misses.
-        miss = (~good).astype(jnp.int32)
-        # consecutive-miss counter via scan over the step axis
-        def scan_fn(carry, m):
-            c = (carry + m) * m  # reset on hit
-            return c, c
-        _, cmiss = jax.lax.scan(scan_fn, jnp.zeros(miss.shape[0], jnp.int32), miss.T)
-        cmiss = cmiss.T  # [L, S]
-        dead = jnp.cumsum((cmiss > GAP_TOL).astype(jnp.int32), axis=1) > 0
+        # Gap-tolerant run length: the walk dies at the first window of
+        # GAP_TOL+1 consecutive misses.  Closed form (no scan — a scan
+        # of 160 tiny sequential kernels wastes the VPU): a window of
+        # w misses ends at step s iff miss[s] & miss[s-1] & ... &
+        # miss[s-w+1], i.e. an AND of GAP_TOL+1 shifted copies.
+        miss = ~good
+        run = miss
+        for sft in range(1, GAP_TOL + 1):
+            run = run & jnp.pad(miss, ((0, 0), (sft, 0)))[:, : miss.shape[1]]
+        dead = jnp.cumsum(run.astype(jnp.int32), axis=1) > 0
         alive = ~dead
         extent = jnp.sum(alive.astype(jnp.float32), axis=1)
         supported = jnp.sum((good & alive).astype(jnp.float32), axis=1)

@@ -16,6 +16,17 @@ round-trip per step (measured through the axon PJRT tunnel).  Fusing
 them means the host dispatches once and fetches ONE compact result
 (~30 KB) per frame; all cross-stage dataflow stays on device.
 
+Landmark state crosses the host boundary as a **device-resident map
+mirror** (`MapMirror`): the point table lives on device and is
+re-uploaded only when the host map mutates (keyframe creation, BA
+write-back, loop correction — per-keyframe events, not per-frame).
+Per-frame inputs are just the new Frame, the previous frame's
+association vector (already on device as the previous step's output)
+and a handful of pose scalars; every landmark table the step needs
+(last-frame table, reference-KF table, local-map snapshot) is a gather
+from the mirror by index.  This removes ~30 host→device transfers per
+frame — through the tunnel those dominated the whole pipeline.
+
 Branchless fallback: path B (reference-KF match) is computed every
 frame instead of only when path A fails — on the MXU the extra masked
 Hamming matmul is ~2 ms, far cheaper than a second dispatch round-trip
@@ -31,6 +42,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..backend.pnp import solve_pnp_ransac
 from ..backend.pose_opt import pose_optimize
 from ..backend.residuals import line_obs_coeffs
 from ..config import SlamConfig
@@ -39,11 +51,23 @@ from ..geometry.se3 import se3_apply, se3_compose
 from ..matching.line_matcher import search_lines_by_projection
 from ..matching.point_matcher import (
     match_descriptors,
-    predict_scale,
     resolve_duplicates,
     rotation_consistency,
     search_by_projection,
 )
+
+
+class MapMirror(NamedTuple):
+    """Device-resident mirror of the MapStore point table (uploaded
+    once per map mutation — see Tracker._refresh_mirror)."""
+
+    pos: jnp.ndarray     # float32 [P, 3]
+    desc: jnp.ndarray    # uint8 [P, 32]
+    oct: jnp.ndarray     # int32 [P]
+    valid: jnp.ndarray   # bool [P]
+    maxd: jnp.ndarray    # float32 [P]
+    mind: jnp.ndarray    # float32 [P]
+    normal: jnp.ndarray  # float32 [P, 3]
 
 
 class TrackOut(NamedTuple):
@@ -74,15 +98,14 @@ def _invert_matches(m_idx, m_mask, n_rows: int, n_feats: int):
 def track_step(
     frame,                       # Frame pytree (current, device)
     last_frame,                  # Frame pytree (previous, device)
-    # Last-frame landmark table, row-aligned with last_frame features:
-    last_pos, last_desc, last_sel, last_maxd, last_gid,
+    mir: MapMirror,              # device map mirror (per-KF upload)
+    last_gid,                    # int32 [N] prev frame's landmark ids (device)
     # Velocity prior T_k<-k-1 and last pose:
     Rv, tv, R_last, t_last, has_velocity,
-    # Reference-KF feature slots (row-aligned tables):
-    ref_xy, ref_desc, ref_angle, ref_has_lm, ref_pos, ref_gid,
-    # Local-map snapshot [cap]:
-    snap_pos, snap_desc, snap_oct, snap_valid,
-    snap_maxd, snap_mind, snap_normal, snap_gid,
+    # Reference-KF feature slots (per-KF uploads, row-aligned tables):
+    ref_xy, ref_desc, ref_angle, ref_slots,
+    # Local-map snapshot landmark ids [cap] (-1 pad; per-KF upload):
+    snap_ids,
     # Lines (dummy [8]-arrays when has_lines=False):
     lf,                          # LineFeatures pytree or None
     ln_start, ln_end, ln_desc, ln_valid,
@@ -92,8 +115,32 @@ def track_step(
     cam = cfg.camera
     scales = cfg.orb.level_scales
     N = frame.xy.shape[0]
-    F = last_desc.shape[0]
-    cap = snap_pos.shape[0]
+    P = mir.pos.shape[0]
+    cap = snap_ids.shape[0]
+
+    # ---- Landmark tables: gathers from the device mirror --------------
+    lr = jnp.clip(last_gid, 0, P - 1)
+    last_sel = (last_gid >= 0) & mir.valid[lr]
+    last_pos = mir.pos[lr]
+    last_desc = mir.desc[lr]
+    last_maxd = mir.maxd[lr]
+
+    rr = jnp.clip(ref_slots, 0, P - 1)
+    ref_has_lm = (ref_slots >= 0) & mir.valid[rr]
+    ref_pos = mir.pos[rr]
+    ref_gid = jnp.where(ref_has_lm, ref_slots, -1)
+
+    sr = jnp.clip(snap_ids, 0, P - 1)
+    snap_valid = (snap_ids >= 0) & mir.valid[sr]
+    snap_pos = mir.pos[sr]
+    snap_desc = mir.desc[sr]
+    snap_oct = mir.oct[sr]
+    snap_maxd = jnp.where(snap_valid, mir.maxd[sr], 1.0)
+    snap_mind = jnp.where(snap_valid, mir.mind[sr], 0.0)
+    snap_normal = mir.normal[sr]
+    snap_gid = jnp.where(snap_valid, snap_ids, -1)
+
+    F = ref_desc.shape[0]
 
     # ---- Path A: motion model ---------------------------------------
     Rp, tp = se3_compose(Rv, tv, R_last, t_last)
@@ -106,11 +153,12 @@ def track_step(
     mA = resolve_duplicates(mA, N)
     keepA = rotation_consistency(last_frame.angle, frame.angle[mA.idx], mA.mask)
     n_mm = jnp.sum(keepA.astype(jnp.int32))
-    rowA = _invert_matches(mA.idx, keepA, F, N)        # frame feat -> last row
+    rowA = _invert_matches(mA.idx, keepA, N, N)        # frame feat -> last row
     selA = rowA >= 0
     rA = jnp.where(selA, rowA, 0)
     ptsA = last_pos[rA]
-    gidA = jnp.where(selA, last_gid[rA], -1)
+    gidA = jnp.where(selA & last_sel[rA], last_gid[rA], -1)
+    selA = gidA >= 0
 
     obs = jnp.stack([frame.xy[:, 0], frame.xy[:, 1], frame.u_right], -1)
     resA = pose_optimize(
@@ -133,8 +181,22 @@ def track_step(
     rB = jnp.where(selB, mB.idx, 0)
     ptsB = ref_pos[rB]
     gidB = jnp.where(selB, ref_gid[rB], -1)
+    # RANSAC-EPnP pose init (beyond the reference, which seeds LM at the
+    # last pose): path B matches are descriptor-windowed, not
+    # projection-gated, so a single wrong-depth landmark with ~fx/z
+    # leverage can anchor a straight LM solve in a wrong basin (measured
+    # 0.16 m pose bias from one ghost).  128 batched EPnP hypotheses are
+    # ~free on the MXU and make the init outlier-proof.
+    sigma2B = (cfg.orb.scale_factor ** frame.octave.astype(jnp.float32)) ** 2
+    Rr, tr, _, n_r = solve_pnp_ransac(
+        ptsB, frame.xy, selB & frame.valid, jax.random.PRNGKey(17), cam,
+        sigma2B,
+    )
+    use_r = n_r >= 10
+    R_b0 = jnp.where(use_r, Rr, R_last)
+    t_b0 = jnp.where(use_r, tr, t_last)
     resB = pose_optimize(
-        R_last, t_last, ptsB, obs, frame.octave, selB & frame.valid,
+        R_b0, t_b0, ptsB, obs, frame.octave, selB & frame.valid,
         cam, cfg.orb.scale_factor,
     )
     okB = (n_ref >= 15) & (resB.n_inliers >= 10)

@@ -34,7 +34,7 @@ from ..geometry.host import (
 )
 from ..matching.point_matcher import match_descriptors, rotation_consistency
 from ..slam_map.map_store import MapStore
-from .track_step import track_step
+from .track_step import MapMirror, track_step
 
 
 @dataclasses.dataclass
@@ -77,6 +77,11 @@ class Tracker:
         self.is_mono = False
         self.cur_frame = None
         self._fh_frame_id = -1           # lazy host mirror bookkeeping
+        # Device-side map mirror: refreshed per map MUTATION (keyframe
+        # events), not per frame — see _refresh_mirror.
+        self._mir = None
+        self._mirror_dirty = True
+        self._last_gid_dev = None        # device assoc of the last frame
 
     # ------------------------------------------------------------------
     def process_stereo(self, img_left, img_right, timestamp: float = 0.0):
@@ -180,6 +185,8 @@ class Tracker:
         if self.on_keyframe is not None:
             self.on_keyframe(kf0)
             self.on_keyframe(kf1)
+        self._last_gid_dev = None
+        self.mark_map_dirty()
 
     # ------------------------------------------------------------------
     def _fh(self, frame: Frame):
@@ -265,54 +272,43 @@ class Tracker:
                 "inliers": n_inliers,
                 "state": self.state,
                 "motion_model": bool(out.used_motion),
+                "tracked_close": int(out.tracked_close),
+                "untracked_close": int(out.untracked_close),
+                "is_kf": self.frames_since_kf == 0,
             }
         )
         self._record(timestamp, lost=not ok)
         return self.current_pose()
 
     # ------------------------------------------------------------------
-    def _dispatch_track_step(self, frame: Frame):
-        """Gather the host-side landmark tables, dispatch the fused
-        track step, fetch its compact output (one round-trip)."""
+    def mark_map_dirty(self):
+        """The host map mutated: re-upload the device mirror before the
+        next track dispatch.  Called at keyframe-rate events only."""
+        self._mirror_dirty = True
+
+    def _refresh_mirror(self):
+        """(Re)upload the device-side map mirror (point table + ref-KF
+        tables + local-map snapshot ids + line tables).  This is the
+        ONLY bulk host→device transfer in steady-state tracking and it
+        runs per map mutation (keyframe events), not per frame."""
         m = self.map
         cfg = self.cfg
-        # Last-frame landmark table (row-aligned with last_frame).
-        la = self.last_assoc
-        sel = (la >= 0) & m.pt_valid[np.clip(la, 0, m.P - 1)]
-        lmr = np.where(sel, la, 0)
-        last_gid = np.where(sel, la, -1).astype(np.int32)
-        # Reference-KF table (row-aligned with its feature slots).
         k = self.ref_kf
-        kf_lm = m.kf_obs_lm[k]
-        has_lm = (kf_lm >= 0) & m.pt_valid[np.clip(kf_lm, 0, m.P - 1)]
-        ref_gid = np.where(has_lm, kf_lm, -1).astype(np.int32)
-        kf_lmr = np.where(has_lm, kf_lm, 0)
-        # Local-map snapshot (covisible neighbourhood of the ref KF).
+        # Local-map snapshot ids (covisible neighbourhood of the ref KF).
         cap = cfg.map.local_points
         ids, _ = m.covisible_keyframes(k, min_weight=1, max_n=20)
         local_kfs = [k] + [int(i) for i in ids]
         lm = np.unique(
             np.concatenate([m.kf_obs_lm[j][m.kf_obs_lm[j] >= 0] for j in local_kfs])
         )
-        lm = lm[m.pt_valid[lm]][:cap]
-        n_local = len(lm)
-        snap_pos = np.zeros((cap, 3), np.float32)
-        snap_desc = np.zeros((cap, 32), np.uint8)
-        snap_oct = np.zeros(cap, np.int32)
-        snap_valid = np.zeros(cap, bool)
-        snap_maxd = np.full(cap, 1.0, np.float32)
-        snap_mind = np.zeros(cap, np.float32)
-        snap_normal = np.zeros((cap, 3), np.float32)
-        snap_gid = np.full(cap, -1, np.int32)
-        snap_pos[:n_local] = m.pt_pos[lm]
-        snap_desc[:n_local] = m.pt_desc[lm]
-        snap_oct[:n_local] = m.pt_oct[lm]
-        snap_valid[:n_local] = True
-        snap_maxd[:n_local] = m.pt_max_dist[lm]
-        snap_mind[:n_local] = m.pt_min_dist[lm]
-        snap_normal[:n_local] = m.pt_normal[lm]
-        snap_gid[:n_local] = lm
-        # Map lines.
+        lm = lm[m.pt_valid[lm]]
+        if len(lm) > cap:
+            # Keep the newest landmarks: older ids fall out of the local
+            # window first (they are covered by their own keyframes).
+            lm = lm[-cap:]
+        snap_ids = np.full(cap, -1, np.int32)
+        snap_ids[: len(lm)] = lm
+        # Lines.
         lf = self.cur_lines
         has_lines = (
             cfg.lines.enabled and lf is not None and bool(m.ln_valid.any())
@@ -330,6 +326,46 @@ class Tracker:
             ln_ends[:nl] = m.ln_end[ln_ids]
             ln_descs[:nl] = m.ln_desc[ln_ids]
             ln_valid[:nl] = True
+        self._mir = {
+            "pt": MapMirror(
+                pos=jnp.asarray(m.pt_pos),
+                desc=jnp.asarray(m.pt_desc),
+                oct=jnp.asarray(m.pt_oct),
+                valid=jnp.asarray(m.pt_valid),
+                maxd=jnp.asarray(m.pt_max_dist),
+                mind=jnp.asarray(m.pt_min_dist),
+                normal=jnp.asarray(m.pt_normal),
+            ),
+            "ref_xy": jnp.asarray(m.kf_xy[k]),
+            "ref_desc": jnp.asarray(m.kf_desc[k]),
+            "ref_angle": jnp.asarray(m.kf_angle[k]),
+            "ref_slots": jnp.asarray(m.kf_obs_lm[k]),
+            "snap_ids": jnp.asarray(snap_ids),
+            "snap_host": lm,
+            "ln_start": jnp.asarray(ln_starts),
+            "ln_end": jnp.asarray(ln_ends),
+            "ln_desc": jnp.asarray(ln_descs),
+            "ln_valid": jnp.asarray(ln_valid),
+            "ln_ids": ln_ids,
+            "has_lines": has_lines,
+            "ref_kf": k,
+        }
+        self._mirror_dirty = False
+
+    def _dispatch_track_step(self, frame: Frame):
+        """Dispatch the fused track step against the device map mirror,
+        fetch its compact output (one round-trip per frame)."""
+        if self._mirror_dirty or self._mir is None or self._mir["ref_kf"] != self.ref_kf:
+            self._refresh_mirror()
+        mir = self._mir
+        # Previous frame's association: already on device as the last
+        # step's output; upload from host only after host-side resets
+        # (initialization, relocalization assoc rewrites).
+        if self._last_gid_dev is None:
+            la = self.last_assoc
+            self._last_gid_dev = jnp.asarray(
+                np.where(la >= 0, la, -1).astype(np.int32)
+            )
         # Velocity prior.
         if self.vel is not None:
             Rv, tv = self.vel
@@ -338,28 +374,22 @@ class Tracker:
             Rv = np.eye(3, dtype=np.float32)
             tv = np.zeros(3, np.float32)
             hv = False
+        has_lines = mir["has_lines"] and self.cur_lines is not None
 
-        out = track_step(
+        out_dev = track_step(
             frame, self.last_frame,
-            jnp.asarray(m.pt_pos[lmr]), jnp.asarray(m.pt_desc[lmr]),
-            jnp.asarray(sel), jnp.asarray(m.pt_max_dist[lmr]),
-            jnp.asarray(last_gid),
+            mir["pt"], self._last_gid_dev,
             jnp.asarray(Rv), jnp.asarray(tv),
             jnp.asarray(self.last_R), jnp.asarray(self.last_t),
             jnp.asarray(hv),
-            jnp.asarray(m.kf_xy[k]), jnp.asarray(m.kf_desc[k]),
-            jnp.asarray(m.kf_angle[k]), jnp.asarray(has_lm),
-            jnp.asarray(m.pt_pos[kf_lmr]), jnp.asarray(ref_gid),
-            jnp.asarray(snap_pos), jnp.asarray(snap_desc),
-            jnp.asarray(snap_oct), jnp.asarray(snap_valid),
-            jnp.asarray(snap_maxd), jnp.asarray(snap_mind),
-            jnp.asarray(snap_normal), jnp.asarray(snap_gid),
-            lf if has_lines else None,
-            jnp.asarray(ln_starts), jnp.asarray(ln_ends),
-            jnp.asarray(ln_descs), jnp.asarray(ln_valid),
-            cfg=cfg, has_lines=has_lines,
+            mir["ref_xy"], mir["ref_desc"], mir["ref_angle"], mir["ref_slots"],
+            mir["snap_ids"],
+            self.cur_lines if has_lines else None,
+            mir["ln_start"], mir["ln_end"], mir["ln_desc"], mir["ln_valid"],
+            cfg=self.cfg, has_lines=has_lines,
         )
-        return jax.device_get(out), lm, ln_ids
+        self._last_gid_dev = out_dev.assoc_gid
+        return jax.device_get(out_dev), mir["snap_host"], mir["ln_ids"]
 
     # ------------------------------------------------------------------
     def current_pose(self) -> np.ndarray:
@@ -423,6 +453,8 @@ class Tracker:
         self.last_t = self.t.copy()
         self.vel = None
         self.frames_since_kf = 0
+        self._last_gid_dev = None
+        self.mark_map_dirty()
 
     # ------------------------------------------------------------------
     def _pose_opt_from_assoc(self, frame, assoc, R0, t0, line_kw=None):
@@ -660,6 +692,7 @@ class Tracker:
             # with the (possibly corrected) reference keyframe.
             self.R = self.map.kf_R[kf].copy()
             self.t = self.map.kf_t[kf].copy()
+        self.mark_map_dirty()
 
     def _local_ba(self, center_kf, defer: bool = False):
         """Local bundle adjustment.  With defer=True the device solve is
@@ -737,6 +770,7 @@ class Tracker:
                 lpack, np.asarray(res.line_U), np.asarray(res.line_w),
                 np.asarray(res.lobs_inlier),
             )
+        self.mark_map_dirty()
         if ride:
             # Current pose rides with the reference KF.
             self.R = self.map.kf_R[center_kf].copy()
