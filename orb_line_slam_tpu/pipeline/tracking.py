@@ -72,7 +72,14 @@ class Tracker:
         self.on_keyframe = None          # callback(kf_id) after insertion
         self.localization_only = False   # tracking-only mode
         self.reloc_candidates_fn = None  # BoW relocalization candidates
-        self.async_mapping = False       # defer BA write-back to next KF
+        # Defer local-BA write-back to the next keyframe event by
+        # default: tracking never blocks on mapping (the reference's
+        # LocalMapping-pthread property, SURVEY.md §7.2 hard-part #4).
+        self.async_mapping = True
+        # Trajectory entries indexed by reference KF, so culling a KF
+        # re-anchors its entries to the spanning-tree parent in O(own).
+        self._traj_by_kf: dict[int, list[TrajectoryEntry]] = {}
+        self.map.on_kf_culled.append(self._on_kf_culled)
         self._pending_ba = None
         self.is_mono = False
         self.cur_frame = None
@@ -159,12 +166,14 @@ class Tracker:
             refh, np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
             ref_id, ref_ts,
         )
-        kf1 = self.map.add_keyframe(fh, R2, t2, self.frame_id, timestamp)
+        kf1 = self.map.add_keyframe(fh, R2, t2, self.frame_id, timestamp,
+                                    parent=kf0)
         rows = np.nonzero(inl)[0]
         ids = self.map.add_points(
             pts[rows], refh.desc[rows], refh.octave[rows], kf0, rows,
         )
         self.map.kf_obs_lm[kf1, idx[rows[: len(ids)]]] = ids
+        self.map.touch_obs()
         self.map.update_point_stats(ids)
         self.recent_lm.append(ids)
 
@@ -200,6 +209,10 @@ class Tracker:
 
     def _track(self, frame: Frame, timestamp: float):
         self.cur_frame = frame
+        # Apply a deferred local-BA result the moment the device solve
+        # lands (non-blocking poll) — tracking never waits on mapping,
+        # but mono scale drift doesn't accumulate a whole KF interval.
+        self.poll_pending_ba()
 
         if self.state == "NOT_INITIALIZED":
             fh = self._fh(frame)
@@ -408,11 +421,31 @@ class Tracker:
         # at save time — SURVEY.md §3.5's relative-to-refKF scheme).
         Rr, tr = self.map.kf_R[self.ref_kf], self.map.kf_t[self.ref_kf]
         Rrel, trel = nse3_relative(self.R, self.t, Rr, tr)
-        self.trajectory.append(
-            TrajectoryEntry(
-                self.frame_id, timestamp, self.ref_kf, Rrel, trel, lost,
-            )
+        e = TrajectoryEntry(
+            self.frame_id, timestamp, self.ref_kf, Rrel, trel, lost,
         )
+        self.trajectory.append(e)
+        self._traj_by_kf.setdefault(self.ref_kf, []).append(e)
+
+    def _on_kf_culled(self, k: int, parent: int):
+        """A keyframe slot is being recycled: re-anchor every trajectory
+        entry referencing it onto the spanning-tree parent (the
+        reference replays through parents in SaveTrajectoryTUM when a
+        reference KF isBad — SURVEY.md §3.5)."""
+        if parent < 0 or not self.map.kf_valid[parent]:
+            live = np.nonzero(self.map.kf_valid[: self.map._next_kf])[0]
+            if len(live) == 0:
+                return
+            parent = int(live[np.argmin(np.abs(live - k))])
+        Rk, tk = self.map.kf_R[k], self.map.kf_t[k]
+        Rp, tp = self.map.kf_R[parent], self.map.kf_t[parent]
+        Rkp, tkp = nse3_relative(Rk, tk, Rp, tp)  # T_k<-p
+        for e in self._traj_by_kf.pop(k, []):
+            e.R_rel, e.t_rel = nse3_compose(e.R_rel, e.t_rel, Rkp, tkp)
+            e.ref_kf = parent
+            self._traj_by_kf.setdefault(parent, []).append(e)
+        if self.ref_kf == k:
+            self.ref_kf = parent
 
     def final_trajectory(self):
         """Replay per-frame relative poses against final keyframe poses."""
@@ -606,7 +639,8 @@ class Tracker:
         fh = self._fh(frame)  # full frame mirror: fetched per-KF only
         self.flush_pending_ba()
         kf = self.map.add_keyframe(
-            fh, self.R, self.t, self.frame_id, timestamp, lm_assoc=assoc
+            fh, self.R, self.t, self.frame_id, timestamp, lm_assoc=assoc,
+            parent=self.ref_kf,
         )
         # New landmarks from stereo depth for unassociated features
         # (close ones always; mirrors Tracking::CreateNewKeyFrame).
@@ -784,3 +818,16 @@ class Tracker:
         pack, lpack, res, center_kf = pending
         self._pending_ba = None
         self._apply_ba(pack, lpack, res, center_kf, ride=False)
+
+    def poll_pending_ba(self):
+        """Apply the deferred BA result iff the device solve finished
+        (jax.Array.is_ready — no blocking)."""
+        pending = getattr(self, "_pending_ba", None)
+        if pending is None:
+            return
+        try:
+            ready = pending[2].R.is_ready()
+        except AttributeError:
+            ready = True
+        if ready:
+            self.flush_pending_ba()

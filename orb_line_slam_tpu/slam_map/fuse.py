@@ -35,21 +35,7 @@ def _kf_view(store, k):
 
 def replace_point(store, src: int, dst: int):
     """Merge landmark src into dst (MapPoint::Replace)."""
-    if src == dst or not store.pt_valid[src] or not store.pt_valid[dst]:
-        return
-    for k in np.nonzero(store.kf_valid)[0]:
-        slots = store.kf_obs_lm[k] == src
-        if not slots.any():
-            continue
-        # If the KF already observes dst, just clear the src slots.
-        if (store.kf_obs_lm[k] == dst).any():
-            store.kf_obs_lm[k][slots] = -1
-        else:
-            store.kf_obs_lm[k][slots] = dst
-    store.pt_found[dst] += store.pt_found[src]
-    store.pt_visible[dst] += store.pt_visible[src]
-    store.pt_valid[src] = False
-    store._free_pts.append(int(src))
+    store.replace_points(np.asarray([src]), np.asarray([dst]))
 
 
 def fuse_into_keyframe(store, lm_ids: np.ndarray, k: int, cam, level_scales,
@@ -86,24 +72,32 @@ def fuse_into_keyframe(store, lm_ids: np.ndarray, k: int, cam, level_scales,
 
     mask, idx = jax.device_get((m.mask, m.idx))
     counts = store.obs_counts()
-    fused = 0
-    for row in np.nonzero(mask[:n])[0]:
-        lm = int(lm_ids[row])
-        feat = int(idx[row])
-        existing = int(store.kf_obs_lm[k, feat])
-        if existing == lm:
-            continue
-        if existing >= 0 and store.pt_valid[existing]:
-            # duplicate: keep the better-observed landmark
-            if counts[existing] >= counts[lm]:
-                replace_point(store, lm, existing)
-            else:
-                replace_point(store, existing, lm)
-                store.kf_obs_lm[k, feat] = lm
-        else:
-            store.kf_obs_lm[k, feat] = lm
-        fused += 1
-    return fused
+    rows = np.nonzero(mask[:n])[0]
+    if len(rows) == 0:
+        return 0
+    lm = lm_ids[rows].astype(np.int64)
+    feat = idx[rows].astype(np.int64)
+    existing = store.kf_obs_lm[k, feat].astype(np.int64)
+    changed = existing != lm
+    lm, feat, existing = lm[changed], feat[changed], existing[changed]
+    if len(lm) == 0:
+        return 0
+    is_dup = (existing >= 0) & store.pt_valid[np.clip(existing, 0, None)]
+    # Free slots: bind the landmark directly (new observation).
+    free = ~is_dup
+    if free.any():
+        store.kf_obs_lm[k, feat[free]] = lm[free].astype(np.int32)
+    # Duplicates: merge into the better-observed landmark (batched).
+    if is_dup.any():
+        a, b = lm[is_dup], existing[is_dup]
+        keep_existing = counts[b] >= counts[a]
+        src = np.where(keep_existing, a, b)
+        dst = np.where(keep_existing, b, a)
+        # Rebind the slot first so replace_points' remap settles it.
+        store.kf_obs_lm[k, feat[is_dup]] = src.astype(np.int32)
+        store.replace_points(src, dst)
+    store.touch_obs()
+    return int(len(lm))
 
 
 def search_in_neighbors(store, kf: int, cam, level_scales, n_neighbors: int = 5):

@@ -5,13 +5,23 @@ Map classes with per-object mutexes — src/{KeyFrame,MapPoint,Map}.cc,
 SURVEY.md §1 L1, §7.0): keyframes, landmarks and observations live in
 flat preallocated numpy arrays on the host (single-writer bookkeeping),
 and device programs receive packed dense views.  Deletion is a mask
-clear; nothing ever reallocates, so jitted consumers never recompile.
+clear; culled keyframe slots are recycled through a free list (the
+analog of KeyFrame::SetBadFlag's lazy deletion, with trajectory
+re-anchoring to the spanning-tree parent), and the keyframe axis grows
+by doubling when live keyframes outrun capacity, so arbitrarily long
+sequences never freeze the map.
 
 Observation model: each keyframe keeps its frame's feature slots
 ([F] per KF); ``kf_obs_lm[k, f]`` is the landmark id observed by
 feature f of keyframe k (-1 = none) — the analog of
 KeyFrame::mvpMapPoints, and the only place observations are stored
 (MapPoint::mObservations is derived from it on demand).
+
+Every derived structure (covisibility, observation counts) is cached
+and invalidated by an observation epoch counter; all bulk maintenance
+(distinctive descriptors, normals, merges, packing) is vectorized
+numpy — no per-landmark Python loops on the hot path (the round-1
+pipeline spent ~99% of wall time here; VERDICT.md "What's weak" #3).
 """
 
 from __future__ import annotations
@@ -19,6 +29,8 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import MapConfig
+
+_POPCOUNT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
 
 
 class MapStore:
@@ -33,6 +45,7 @@ class MapStore:
         self.kf_t = np.zeros((K, 3), np.float32)
         self.kf_frame_id = np.full(K, -1, np.int64)
         self.kf_timestamp = np.zeros(K, np.float64)
+        self.kf_parent = np.full(K, -1, np.int32)  # spanning tree (ChangeParent)
         # per-KF feature slots (copied from the source Frame)
         self.kf_xy = np.zeros((K, F, 2), np.float32)
         self.kf_ur = np.full((K, F), -1.0, np.float32)
@@ -55,8 +68,15 @@ class MapStore:
         self.pt_visible = np.zeros(P, np.int32)
         self.pt_found = np.zeros(P, np.int32)
 
-        self._next_kf = 0
+        self._next_kf = 0                       # high-watermark (allocated)
+        self._free_kfs: list[int] = []          # recycled culled slots
         self._free_pts = list(range(P - 1, -1, -1))
+        self.on_kf_culled: list = []            # callbacks(kf_id, parent_id)
+
+        # epoch-stamped caches over kf_obs_lm / kf_valid
+        self._obs_epoch = 0
+        self._covis_cache = (-1, None)
+        self._counts_cache = (-1, None)
 
         # --- 3D line segments (MapLine analog, SURVEY.md §2.1 row 8) ---
         L = cfg.max_lines
@@ -67,6 +87,8 @@ class MapStore:
         self.ln_end = np.zeros((L, 3), np.float32)
         self.ln_desc = np.zeros((L, 32), np.uint8)
         self.ln_first_kf = np.full(L, -1, np.int32)
+        self.ln_visible = np.zeros(L, np.int32)
+        self.ln_found = np.zeros(L, np.int32)
         self._free_lines = list(range(L - 1, -1, -1))
         if n_lines:
             self.kf_ln_p0 = np.zeros((K, n_lines, 2), np.float32)
@@ -76,20 +98,71 @@ class MapStore:
             self.kf_ln_obs = np.full((K, n_lines), -1, np.int32)
 
     # ------------------------------------------------------------------
+    # cache bookkeeping
+    # ------------------------------------------------------------------
+    def touch_obs(self):
+        """Invalidate derived caches after any kf_obs_lm/kf_valid edit.
+        External writers (tracking/fuse/triangulation) MUST call this."""
+        self._obs_epoch += 1
+
+    def _valid_kf_rows(self):
+        return np.nonzero(self.kf_valid[: self._next_kf])[0]
+
+    # ------------------------------------------------------------------
     # keyframes
     # ------------------------------------------------------------------
-    def add_keyframe(self, frame, R_cw, t_cw, frame_id, timestamp=0.0, lm_assoc=None):
+    def _grow_keyframes(self):
+        """Double keyframe capacity (host arrays only — device programs
+        never consume K-sized inputs, so no recompiles)."""
+        oldK, K = self.K, self.K * 2
+
+        def g(a, fill=0):
+            out = np.empty((K,) + a.shape[1:], a.dtype)
+            out[:oldK] = a
+            out[oldK:] = fill
+            return out
+
+        self.kf_valid = g(self.kf_valid, False)
+        R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        R[:oldK] = self.kf_R
+        self.kf_R = R
+        self.kf_t = g(self.kf_t)
+        self.kf_frame_id = g(self.kf_frame_id, -1)
+        self.kf_timestamp = g(self.kf_timestamp)
+        self.kf_parent = g(self.kf_parent, -1)
+        self.kf_xy = g(self.kf_xy)
+        self.kf_ur = g(self.kf_ur, -1.0)
+        self.kf_depth = g(self.kf_depth, -1.0)
+        self.kf_oct = g(self.kf_oct)
+        self.kf_angle = g(self.kf_angle)
+        self.kf_desc = g(self.kf_desc)
+        self.kf_feat_valid = g(self.kf_feat_valid, False)
+        self.kf_obs_lm = g(self.kf_obs_lm, -1)
+        if self.Lf:
+            self.kf_ln_p0 = g(self.kf_ln_p0)
+            self.kf_ln_p1 = g(self.kf_ln_p1)
+            self.kf_ln_desc = g(self.kf_ln_desc)
+            self.kf_ln_valid = g(self.kf_ln_valid, False)
+            self.kf_ln_obs = g(self.kf_ln_obs, -1)
+        self.K = K
+
+    def add_keyframe(self, frame, R_cw, t_cw, frame_id, timestamp=0.0,
+                     lm_assoc=None, parent=-1):
         """Insert a keyframe snapshot of `frame` (a frontend Frame pytree
         already on host or device). Returns the keyframe id."""
-        if self._next_kf >= self.K:
-            raise RuntimeError("keyframe capacity exceeded")
-        k = self._next_kf
-        self._next_kf += 1
+        if self._free_kfs:
+            k = self._free_kfs.pop()
+        else:
+            if self._next_kf >= self.K:
+                self._grow_keyframes()
+            k = self._next_kf
+            self._next_kf += 1
         self.kf_valid[k] = True
         self.kf_R[k] = np.asarray(R_cw, np.float32)
         self.kf_t[k] = np.asarray(t_cw, np.float32)
         self.kf_frame_id[k] = frame_id
         self.kf_timestamp[k] = timestamp
+        self.kf_parent[k] = parent if (parent != k) else -1
         self.kf_xy[k] = np.asarray(frame.xy)
         self.kf_ur[k] = np.asarray(frame.u_right)
         self.kf_depth[k] = np.asarray(frame.depth)
@@ -103,6 +176,12 @@ class MapStore:
             # Drop associations to dead landmarks.
             assoc[(assoc >= 0) & ~self.pt_valid[np.clip(assoc, 0, self.P - 1)]] = -1
             self.kf_obs_lm[k] = assoc
+        else:
+            self.kf_obs_lm[k] = -1
+        if self.Lf:
+            self.kf_ln_valid[k] = False
+            self.kf_ln_obs[k] = -1
+        self.touch_obs()
         return k
 
     def n_keyframes(self) -> int:
@@ -122,6 +201,9 @@ class MapStore:
             a[(a >= 0) & ~self.ln_valid[np.clip(a, 0, self.L - 1)]] = -1
             self.kf_ln_obs[kf_id] = a
 
+    # ------------------------------------------------------------------
+    # lines
+    # ------------------------------------------------------------------
     def add_lines(self, starts, ends, descs, kf_id, feat_idx):
         """Allocate new 3D line landmarks observed by (kf_id, feat_idx)."""
         n = min(len(starts), len(self._free_lines))
@@ -133,6 +215,8 @@ class MapStore:
         self.ln_end[ids] = np.asarray(ends, np.float32)[:n]
         self.ln_desc[ids] = np.asarray(descs, np.uint8)[:n]
         self.ln_first_kf[ids] = kf_id
+        self.ln_visible[ids] = 1
+        self.ln_found[ids] = 1
         if self.Lf:
             self.kf_ln_obs[kf_id, np.asarray(feat_idx)[:n]] = ids
         return ids
@@ -140,12 +224,85 @@ class MapStore:
     def erase_lines(self, ids):
         ids = np.atleast_1d(np.asarray(ids, np.int32))
         live = ids[self.ln_valid[ids]]
+        if len(live) == 0:
+            return
         self.ln_valid[live] = False
         if self.Lf:
-            for k in np.nonzero(self.kf_valid)[0]:
-                sl = np.isin(self.kf_ln_obs[k], live)
-                self.kf_ln_obs[k][sl] = -1
+            dead = np.zeros(self.L + 1, bool)
+            dead[live] = True
+            rows = self._valid_kf_rows()
+            obs = self.kf_ln_obs[rows]
+            hit = dead[np.where(obs >= 0, obs, self.L)]
+            self.kf_ln_obs[rows] = np.where(hit, -1, obs)
         self._free_lines.extend(int(i) for i in live)
+
+    def line_obs_counts(self) -> np.ndarray:
+        """Number of keyframe observations per line landmark, [L]."""
+        counts = np.zeros(self.L + 1, np.int64)
+        if self.Lf:
+            obs = self.kf_ln_obs[self._valid_kf_rows()]
+            np.add.at(counts, np.where(obs >= 0, obs, self.L).ravel(), 1)
+        return counts[: self.L]
+
+    def replace_lines(self, src_ids, dst_ids):
+        """Batch-merge line landmarks src→dst (MapLine::Replace analog)."""
+        src_ids = np.atleast_1d(np.asarray(src_ids, np.int64))
+        dst_ids = np.atleast_1d(np.asarray(dst_ids, np.int64))
+        keep = (
+            (src_ids != dst_ids)
+            & self.ln_valid[src_ids]
+            & self.ln_valid[dst_ids]
+        )
+        src_ids, dst_ids = src_ids[keep], dst_ids[keep]
+        if len(src_ids) == 0 or not self.Lf:
+            return
+        remap = np.arange(self.L + 1, dtype=np.int64)
+        remap[src_ids] = dst_ids
+        for _ in range(4):
+            nxt = remap[remap]
+            if np.array_equal(nxt, remap):
+                break
+            remap = nxt
+        rows = self._valid_kf_rows()
+        obs = self.kf_ln_obs[rows]
+        idx = np.where(obs >= 0, obs, self.L)
+        new = np.where(obs >= 0, remap[idx], -1).astype(np.int32)
+        changed = (obs >= 0) & (new != obs)
+        pres = np.zeros((len(rows), self.L + 1), bool)
+        pres[np.arange(len(rows))[:, None], idx] = True
+        conflict = changed & pres[
+            np.arange(len(rows))[:, None], np.where(changed, new, self.L)
+        ]
+        new = np.where(conflict, -1, new)
+        new = _dedup_rows(new, self.L)
+        self.kf_ln_obs[rows] = new
+        np.add.at(self.ln_found, remap[src_ids], self.ln_found[src_ids])
+        np.add.at(self.ln_visible, remap[src_ids], self.ln_visible[src_ids])
+        self.ln_valid[src_ids] = False
+        self._free_lines.extend(int(i) for i in np.unique(src_ids))
+
+    def update_line_stats(self, ln_ids):
+        """Distinctive descriptor per line landmark: min median Hamming
+        over its keyframe observations (MapLine mirrors MapPoint's
+        ComputeDistinctiveDescriptors — SURVEY.md §2.1 row 8)."""
+        if not self.Lf:
+            return
+        ln_ids = np.atleast_1d(np.asarray(ln_ids, np.int64))
+        ln_ids = np.unique(ln_ids[self.ln_valid[ln_ids]])
+        n = len(ln_ids)
+        if n == 0:
+            return
+        lookup = np.full(self.L, -1, np.int32)
+        lookup[ln_ids] = np.arange(n, dtype=np.int32)
+        rows = self._valid_kf_rows()
+        obs = self.kf_ln_obs[rows]
+        li = np.where(obs >= 0, lookup[np.clip(obs, 0, self.L - 1)], -1)
+        ks, fs = np.nonzero(li >= 0)
+        g = li[ks, fs]
+        order = np.argsort(g, kind="stable")
+        g, ks, fs = g[order], ks[order], fs[order]
+        descs = self.kf_ln_desc[rows[ks], fs]
+        _scatter_distinctive(self.ln_desc, ln_ids, g, descs, n)
 
     # ------------------------------------------------------------------
     # landmarks
@@ -167,6 +324,7 @@ class MapStore:
         self.pt_visible[ids] = 1
         self.pt_found[ids] = 1
         self.kf_obs_lm[kf_id, np.asarray(feat_idx)[:n]] = ids
+        self.touch_obs()
         # viewing geometry
         cam_center = -self.kf_R[kf_id].T @ self.kf_t[kf_id]
         d = positions - cam_center
@@ -181,60 +339,132 @@ class MapStore:
         return ids
 
     def erase_point(self, ids):
-        ids = np.atleast_1d(np.asarray(ids, np.int32))
+        ids = np.atleast_1d(np.asarray(ids, np.int64))
         live = ids[self.pt_valid[ids]]
+        if len(live) == 0:
+            return
         self.pt_valid[live] = False
-        for k in np.nonzero(self.kf_valid)[0]:
-            sl = np.isin(self.kf_obs_lm[k], live)
-            self.kf_obs_lm[k][sl] = -1
+        dead = np.zeros(self.P + 1, bool)
+        dead[live] = True
+        rows = self._valid_kf_rows()
+        obs = self.kf_obs_lm[rows]
+        hit = dead[np.where(obs >= 0, obs, self.P)]
+        self.kf_obs_lm[rows] = np.where(hit, -1, obs)
+        self.touch_obs()
         self._free_pts.extend(int(i) for i in live)
+
+    def replace_points(self, src_ids, dst_ids):
+        """Batch-merge landmarks src→dst (MapPoint::Replace): every
+        observation slot holding src is rebound to dst, except in
+        keyframes that already observe dst (slot cleared — a feature
+        can't observe the same landmark twice). found/visible counters
+        accumulate into the survivor. Merge chains are resolved first."""
+        src_ids = np.atleast_1d(np.asarray(src_ids, np.int64))
+        dst_ids = np.atleast_1d(np.asarray(dst_ids, np.int64))
+        keep = (
+            (src_ids != dst_ids)
+            & self.pt_valid[src_ids]
+            & self.pt_valid[dst_ids]
+        )
+        src_ids, dst_ids = src_ids[keep], dst_ids[keep]
+        if len(src_ids) == 0:
+            return
+        remap = np.arange(self.P + 1, dtype=np.int64)
+        remap[src_ids] = dst_ids
+        for _ in range(4):  # chains (a→b, b→c) are shallow in practice
+            nxt = remap[remap]
+            if np.array_equal(nxt, remap):
+                break
+            remap = nxt
+        rows = self._valid_kf_rows()
+        obs = self.kf_obs_lm[rows]
+        idx = np.where(obs >= 0, obs, self.P)
+        new = np.where(obs >= 0, remap[idx], -1).astype(np.int32)
+        changed = (obs >= 0) & (new != obs)
+        # Conflict: the row already observed dst natively → clear the
+        # remapped slot (keep the original observation).
+        pres = np.zeros((len(rows), self.P + 1), bool)
+        pres[np.arange(len(rows))[:, None], idx] = True
+        conflict = changed & pres[
+            np.arange(len(rows))[:, None], np.where(changed, new, self.P)
+        ]
+        new = np.where(conflict, -1, new)
+        # Two srcs merging into one dst inside the same row: keep first.
+        new = _dedup_rows(new, self.P)
+        self.kf_obs_lm[rows] = new
+        np.add.at(self.pt_found, remap[src_ids], self.pt_found[src_ids])
+        np.add.at(self.pt_visible, remap[src_ids], self.pt_visible[src_ids])
+        self.pt_valid[src_ids] = False
+        self.touch_obs()
+        self._free_pts.extend(int(i) for i in np.unique(src_ids))
 
     def point_observations(self, lm_ids):
         """For each landmark id: list of (kf, feat) observing it."""
+        lm_ids = np.atleast_1d(np.asarray(lm_ids, np.int64))
         out = {int(i): [] for i in lm_ids}
-        lm_set = set(int(i) for i in lm_ids)
-        for k in np.nonzero(self.kf_valid)[0]:
-            obs = self.kf_obs_lm[k]
-            for f in np.nonzero(np.isin(obs, list(lm_set)))[0]:
-                out[int(obs[f])].append((int(k), int(f)))
+        if len(lm_ids) == 0:
+            return out
+        g, kk, ff = self._gather_obs(np.unique(lm_ids))
+        uniq = np.unique(lm_ids)
+        for gi, k, f in zip(uniq[g], kk, ff):
+            out[int(gi)].append((int(k), int(f)))
         return out
 
     def obs_counts(self) -> np.ndarray:
-        """Number of keyframe observations per landmark, [P]."""
+        """Number of keyframe observations per landmark, [P] (cached)."""
+        epoch, cached = self._counts_cache
+        if epoch == self._obs_epoch:
+            return cached
         counts = np.zeros(self.P + 1, np.int64)
-        obs = self.kf_obs_lm[self.kf_valid]
+        obs = self.kf_obs_lm[self._valid_kf_rows()]
         np.add.at(counts, np.where(obs >= 0, obs, self.P).ravel(), 1)
-        return counts[: self.P]
+        counts = counts[: self.P]
+        self._counts_cache = (self._obs_epoch, counts)
+        return counts
+
+    def _gather_obs(self, lm_ids):
+        """All observations of lm_ids as flat arrays (g, kf, feat),
+        sorted by landmark-local index g (stable: kf ascending within
+        each group). lm_ids must be unique."""
+        n = len(lm_ids)
+        lookup = np.full(self.P, -1, np.int32)
+        lookup[lm_ids] = np.arange(n, dtype=np.int32)
+        rows = self._valid_kf_rows()
+        obs = self.kf_obs_lm[rows]
+        li = np.where(obs >= 0, lookup[np.clip(obs, 0, self.P - 1)], -1)
+        ks, fs = np.nonzero(li >= 0)
+        g = li[ks, fs]
+        order = np.argsort(g, kind="stable")
+        return g[order], rows[ks[order]], fs[order]
 
     # ------------------------------------------------------------------
-    # covisibility (derived)
+    # covisibility (derived, cached per observation epoch)
     # ------------------------------------------------------------------
     def covisibility(self) -> np.ndarray:
         """Weighted covisibility matrix [K, K]: #shared landmarks.
 
         Derived from kf_obs_lm (KeyFrame::UpdateConnections recomputes
-        per insertion; we recompute on demand — sparse-friendly).
-        """
+        per insertion; we recompute per observation epoch) as S·Sᵀ of
+        the sparse KF×landmark incidence matrix."""
+        epoch, cached = self._covis_cache
+        if epoch == self._obs_epoch:
+            return cached
+        import scipy.sparse as sp
+
         Kn = self._next_kf
         W = np.zeros((Kn, Kn), np.int32)
-        # landmark -> observing keyframes via sorted pair list
-        pairs = []
-        for k in np.nonzero(self.kf_valid[:Kn])[0]:
-            lm = self.kf_obs_lm[k]
-            lm = lm[lm >= 0]
-            pairs.append(np.stack([lm, np.full(len(lm), k)], -1))
-        if not pairs:
-            return W
-        pairs = np.concatenate(pairs)
-        order = np.argsort(pairs[:, 0], kind="stable")
-        pairs = pairs[order]
-        lm_ids, starts = np.unique(pairs[:, 0], return_index=True)
-        ends = np.append(starts[1:], len(pairs))
-        for s, e in zip(starts, ends):
-            ks = pairs[s:e, 1]
-            if len(ks) > 1:
-                W[np.ix_(ks, ks)] += 1
-        np.fill_diagonal(W, 0)
+        rows = self._valid_kf_rows()
+        if len(rows):
+            obs = self.kf_obs_lm[rows]
+            ks, fs = np.nonzero(obs >= 0)
+            lm = obs[ks, fs]
+            S = sp.csr_matrix(
+                (np.ones(len(lm), np.int32), (rows[ks], lm)),
+                shape=(Kn, self.P),
+            )
+            W = np.asarray((S @ S.T).todense(), np.int32)
+            np.fill_diagonal(W, 0)
+        self._covis_cache = (self._obs_epoch, W)
         return W
 
     def covisible_keyframes(self, kf_id, min_weight=15, max_n=None):
@@ -250,35 +480,47 @@ class MapStore:
     # descriptor / normal maintenance
     # ------------------------------------------------------------------
     def update_point_stats(self, lm_ids):
-        """Recompute distinctive descriptor (min median Hamming) and mean
-        viewing normal (MapPoint::ComputeDistinctiveDescriptors /
-        UpdateNormalAndDepth) for the given landmarks."""
-        lm_ids = np.atleast_1d(np.asarray(lm_ids, np.int32))
-        lm_ids = lm_ids[self.pt_valid[lm_ids]]
-        if len(lm_ids) == 0:
+        """Recompute distinctive descriptor (min median Hamming), mean
+        viewing normal, and scale range (MapPoint::
+        ComputeDistinctiveDescriptors / UpdateNormalAndDepth) for the
+        given landmarks — one vectorized pass, no per-landmark loops."""
+        lm_ids = np.atleast_1d(np.asarray(lm_ids, np.int64))
+        lm_ids = np.unique(lm_ids[self.pt_valid[np.clip(lm_ids, 0, self.P - 1)]])
+        n = len(lm_ids)
+        if n == 0:
             return
-        obs_map = self.point_observations(lm_ids)
-        for i in lm_ids:
-            obs = obs_map[int(i)]
-            if not obs:
-                continue
-            descs = np.stack([self.kf_desc[k, f] for k, f in obs])
-            bits = np.unpackbits(descs, axis=1)
-            dist = (bits[:, None] != bits[None, :]).sum(-1)
-            med = np.median(dist, axis=1)
-            self.pt_desc[i] = descs[med.argmin()]
-            centers = np.stack(
-                [-self.kf_R[k].T @ self.kf_t[k] for k, f in obs]
-            )
-            d = self.pt_pos[i] - centers
-            d /= np.linalg.norm(d, axis=-1, keepdims=True) + 1e-9
-            self.pt_normal[i] = d.mean(0) / (np.linalg.norm(d.mean(0)) + 1e-9)
-            # scale-invariance range from the last observation
-            k_ref, f_ref = obs[-1]
-            dist_ref = np.linalg.norm(self.pt_pos[i] - centers[-1])
-            oc = float(self.kf_oct[k_ref, f_ref])
-            self.pt_max_dist[i] = dist_ref * (1.2 ** oc) * 1.2
-            self.pt_min_dist[i] = self.pt_max_dist[i] / (1.2 ** 8)
+        g, kk, ff = self._gather_obs(lm_ids)
+        if len(g) == 0:
+            return
+        starts = np.searchsorted(g, np.arange(n))
+        ends = np.searchsorted(g, np.arange(n) + 1)
+        cnt = ends - starts
+        has = cnt > 0
+
+        # --- mean viewing normal ---
+        centers = -np.einsum("kji,kj->ki", self.kf_R[kk], self.kf_t[kk])
+        d = self.pt_pos[lm_ids[g]] - centers
+        d /= np.linalg.norm(d, axis=-1, keepdims=True) + 1e-9
+        nsum = np.zeros((n, 3), np.float64)
+        np.add.at(nsum, g, d)
+        norm = np.linalg.norm(nsum, axis=-1, keepdims=True) + 1e-9
+        navg = (nsum / norm).astype(np.float32)
+        self.pt_normal[lm_ids[has]] = navg[has]
+
+        # --- scale-invariance range from the newest observation
+        # (groups are kf-ascending, so the group's last element) ---
+        ref = np.maximum(ends - 1, 0)
+        k_ref, f_ref = kk[ref], ff[ref]
+        c_ref = -np.einsum("kji,kj->ki", self.kf_R[k_ref], self.kf_t[k_ref])
+        dist_ref = np.linalg.norm(self.pt_pos[lm_ids] - c_ref, axis=-1)
+        oc = self.kf_oct[k_ref, f_ref].astype(np.float64)
+        maxd = (dist_ref * (1.2 ** oc) * 1.2).astype(np.float32)
+        self.pt_max_dist[lm_ids[has]] = maxd[has]
+        self.pt_min_dist[lm_ids[has]] = (maxd / (1.2 ** 8))[has]
+
+        # --- distinctive descriptor ---
+        descs = self.kf_desc[kk, ff]
+        _scatter_distinctive(self.pt_desc, lm_ids, g, descs, n)
 
     # ------------------------------------------------------------------
     # culling
@@ -286,7 +528,7 @@ class MapStore:
     def cull_points(self, current_kf: int, recent_ids):
         """MapPointCulling: drop recently-created landmarks that are
         under-observed or rarely found (SURVEY.md §3.3)."""
-        recent_ids = np.asarray(recent_ids, np.int32)
+        recent_ids = np.asarray(recent_ids, np.int64)
         if len(recent_ids) == 0:
             return np.array([], np.int32)
         recent_ids = recent_ids[self.pt_valid[recent_ids]]
@@ -299,6 +541,46 @@ class MapStore:
         doomed = recent_ids[bad]
         self.erase_point(doomed)
         return doomed
+
+    def cull_lines(self, current_kf: int, recent_ids):
+        """MapLineCulling: same policy as points for fresh 3D lines."""
+        recent_ids = np.asarray(recent_ids, np.int64)
+        if len(recent_ids) == 0 or not self.Lf:
+            return np.array([], np.int32)
+        recent_ids = recent_ids[self.ln_valid[recent_ids]]
+        counts = self.line_obs_counts()
+        found_ratio = self.ln_found[recent_ids] / np.maximum(
+            self.ln_visible[recent_ids], 1
+        )
+        age = current_kf - self.ln_first_kf[recent_ids]
+        bad = (found_ratio < 0.25) | ((age >= 2) & (counts[recent_ids] <= 1))
+        doomed = recent_ids[bad]
+        self.erase_lines(doomed)
+        return doomed
+
+    def erase_keyframe(self, k: int):
+        """SetBadFlag: free the slot, splice the spanning tree (children
+        re-parent to k's parent), re-anchor landmark refs, notify
+        listeners (trajectory re-anchor + KeyFrameDatabase.erase)."""
+        if not self.kf_valid[k]:
+            return
+        parent = int(self.kf_parent[k])
+        self.kf_valid[k] = False
+        self.kf_obs_lm[k] = -1
+        self.kf_feat_valid[k] = False
+        if self.Lf:
+            self.kf_ln_obs[k] = -1
+            self.kf_ln_valid[k] = False
+        # spanning-tree splice
+        kids = np.nonzero(self.kf_parent[: self._next_kf] == k)[0]
+        self.kf_parent[kids] = parent
+        # landmark home-KF re-anchor
+        self.pt_first_kf[self.pt_first_kf == k] = parent
+        self.ln_first_kf[self.ln_first_kf == k] = parent
+        self.touch_obs()
+        for cb in self.on_kf_culled:
+            cb(int(k), parent)
+        self._free_kfs.append(int(k))
 
     def cull_keyframes(self, window_ids):
         """KeyFrameCulling: a KF whose landmarks are ≥90% seen by ≥3
@@ -314,8 +596,7 @@ class MapStore:
                 continue
             redundant = (counts[lm] >= 4).mean()  # self + 3 others
             if redundant > 0.9:
-                self.kf_valid[k] = False
-                self.kf_obs_lm[k] = -1
+                self.erase_keyframe(int(k))
                 culled.append(int(k))
         return culled
 
@@ -329,14 +610,11 @@ class MapStore:
         Free cameras: center + best covisible KFs (up to local_window).
         Fixed cameras: other KFs observing the window's landmarks.
         Returns dict of padded arrays for backend.local_ba.bundle_adjust
-        plus index maps for write-back.
-        """
+        plus index maps for write-back.  Fully vectorized packing."""
         cfg = self.cfg
         if all_free:
             # Global BA: every valid keyframe is a free vertex.
-            window = [int(k) for k in np.nonzero(self.kf_valid[: self._next_kf])[0]][
-                :max_cams
-            ]
+            window = [int(k) for k in self._valid_kf_rows()][:max_cams]
         else:
             W = self.covisibility()
             w = W[center_kf].copy()
@@ -347,21 +625,25 @@ class MapStore:
             ][: cfg.local_window - 1]
 
         # Landmarks seen from the window.
-        lm_set = np.unique(
-            np.concatenate([self.kf_obs_lm[k][self.kf_obs_lm[k] >= 0] for k in window])
-        )
+        wobs = self.kf_obs_lm[window]
+        lm_set = np.unique(wobs[wobs >= 0])
         lm_set = lm_set[self.pt_valid[lm_set]][:max_points]
         lm_lookup = np.full(self.P, -1, np.int32)
         lm_lookup[lm_set] = np.arange(len(lm_set), dtype=np.int32)
 
         # Fixed cameras: any other valid KF observing those landmarks.
-        fixed = []
-        for k in np.nonzero(self.kf_valid[: self._next_kf])[0]:
-            if k in window:
-                continue
-            obs = self.kf_obs_lm[k]
-            if np.any(lm_lookup[obs[obs >= 0]] >= 0):
-                fixed.append(int(k))
+        rows = self._valid_kf_rows()
+        in_window = np.zeros(self._next_kf, bool)
+        in_window[window] = True
+        others = rows[~in_window[rows]]
+        if len(others) and not all_free:
+            oobs = self.kf_obs_lm[others]
+            hits = (oobs >= 0) & (
+                lm_lookup[np.clip(oobs, 0, self.P - 1)] >= 0
+            )
+            fixed = [int(k) for k in others[hits.any(axis=1)]]
+        else:
+            fixed = []
         # Keep gauge: if no fixed cams, fix the oldest window cam.
         cams = window + fixed[: max_cams - len(window)]
         cam_fixed = np.array(
@@ -374,27 +656,20 @@ class MapStore:
         R = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
         t = np.zeros((C, 3), np.float32)
         fixed_mask = np.ones(C, bool)
-        for i, k in enumerate(cams):
-            R[i] = self.kf_R[k]
-            t[i] = self.kf_t[k]
-            fixed_mask[i] = cam_fixed[i]
+        cams_arr = np.asarray(cams, np.int64)
+        R[: len(cams)] = self.kf_R[cams_arr]
+        t[: len(cams)] = self.kf_t[cams_arr]
+        fixed_mask[: len(cams)] = cam_fixed
 
-        # Observations.
-        oc_list, ol_list, ouv_list, ooct_list, okf_list, of_list = [], [], [], [], [], []
-        for i, k in enumerate(cams):
-            obs = self.kf_obs_lm[k]
-            fsel = np.nonzero((obs >= 0) & (lm_lookup[np.clip(obs, 0, self.P - 1)] >= 0))[0]
-            for f in fsel:
-                oc_list.append(i)
-                ol_list.append(lm_lookup[obs[f]])
-                ouv_list.append(
-                    [self.kf_xy[k, f, 0], self.kf_xy[k, f, 1], self.kf_ur[k, f]]
-                )
-                ooct_list.append(self.kf_oct[k, f])
-                okf_list.append(k)
-                of_list.append(f)
+        # Observations (vectorized over the cams' feature slots).
+        cobs = self.kf_obs_lm[cams_arr]
+        local = lm_lookup[np.clip(cobs, 0, self.P - 1)]
+        sel = (cobs >= 0) & (local >= 0)
+        ci, fi = np.nonzero(sel)
         O = max_obs
-        n_obs = min(len(oc_list), O)
+        n_obs = min(len(ci), O)
+        ci, fi = ci[:n_obs], fi[:n_obs]
+        kfi = cams_arr[ci]
         obs_cam = np.zeros(O, np.int32)
         obs_lm = np.zeros(O, np.int32)
         obs_uvur = np.zeros((O, 3), np.float32)
@@ -403,13 +678,14 @@ class MapStore:
         obs_kf = np.zeros(O, np.int32)
         obs_feat = np.zeros(O, np.int32)
         if n_obs:
-            obs_cam[:n_obs] = oc_list[:n_obs]
-            obs_lm[:n_obs] = ol_list[:n_obs]
-            obs_uvur[:n_obs] = np.asarray(ouv_list[:n_obs], np.float32)
-            obs_oct[:n_obs] = ooct_list[:n_obs]
+            obs_cam[:n_obs] = ci
+            obs_lm[:n_obs] = local[ci, fi]
+            obs_uvur[:n_obs, :2] = self.kf_xy[kfi, fi]
+            obs_uvur[:n_obs, 2] = self.kf_ur[kfi, fi]
+            obs_oct[:n_obs] = self.kf_oct[kfi, fi]
             obs_valid[:n_obs] = True
-            obs_kf[:n_obs] = okf_list[:n_obs]
-            obs_feat[:n_obs] = of_list[:n_obs]
+            obs_kf[:n_obs] = kfi
+            obs_feat[:n_obs] = fi
 
         pts = np.zeros((max_points, 3), np.float32)
         pt_valid = np.zeros(max_points, bool)
@@ -421,7 +697,7 @@ class MapStore:
             "points": pts, "point_valid": pt_valid,
             "obs_cam": obs_cam, "obs_lm": obs_lm, "obs_uvur": obs_uvur,
             "obs_oct": obs_oct, "obs_valid": obs_valid,
-            "cam_ids": np.array(cams, np.int32),
+            "cam_ids": cams_arr.astype(np.int32),
             "lm_ids": lm_set.astype(np.int32),
             "obs_kf": obs_kf, "obs_feat": obs_feat,
             "n_obs": n_obs,
@@ -432,29 +708,21 @@ class MapStore:
         point+line bundle adjuster (indices local to cam_ids order)."""
         if not self.Lf:
             return None
-        ln_set = []
-        for k in cam_ids:
-            o = self.kf_ln_obs[k]
-            ln_set.append(o[o >= 0])
-        ln_set = np.unique(np.concatenate(ln_set)) if ln_set else np.zeros(0, np.int64)
+        cam_ids = np.asarray(cam_ids, np.int64)
+        cobs = self.kf_ln_obs[cam_ids]
+        ln_set = np.unique(cobs[cobs >= 0])
         ln_set = ln_set[self.ln_valid[ln_set]][:max_lines]
         if len(ln_set) == 0:
             return None
         lookup = np.full(self.L, -1, np.int32)
         lookup[ln_set] = np.arange(len(ln_set), dtype=np.int32)
 
-        lc, ll, la, lb, lkf, lslot = [], [], [], [], [], []
-        for ci, k in enumerate(cam_ids):
-            obs = self.kf_ln_obs[k]
-            sel = np.nonzero((obs >= 0) & (lookup[np.clip(obs, 0, self.L - 1)] >= 0))[0]
-            for s in sel:
-                lc.append(ci)
-                ll.append(lookup[obs[s]])
-                la.append(self.kf_ln_p0[k, s])
-                lb.append(self.kf_ln_p1[k, s])
-                lkf.append(k)
-                lslot.append(s)
-        n = min(len(lc), max_lobs)
+        local = lookup[np.clip(cobs, 0, self.L - 1)]
+        sel = (cobs >= 0) & (local >= 0)
+        ci, si = np.nonzero(sel)
+        n = min(len(ci), max_lobs)
+        ci, si = ci[:n], si[:n]
+        kfi = cam_ids[ci]
         out = {
             "ln_ids": ln_set.astype(np.int32),
             "lobs_cam": np.zeros(max_lobs, np.int32),
@@ -467,13 +735,13 @@ class MapStore:
             "n_lobs": n,
         }
         if n:
-            out["lobs_cam"][:n] = lc[:n]
-            out["lobs_ln"][:n] = ll[:n]
-            out["lobs_a"][:n] = np.asarray(la[:n], np.float32)
-            out["lobs_b"][:n] = np.asarray(lb[:n], np.float32)
+            out["lobs_cam"][:n] = ci
+            out["lobs_ln"][:n] = local[ci, si]
+            out["lobs_a"][:n] = self.kf_ln_p0[kfi, si]
+            out["lobs_b"][:n] = self.kf_ln_p1[kfi, si]
             out["lobs_valid"][:n] = True
-            out["lobs_kf"][:n] = lkf[:n]
-            out["lobs_slot"][:n] = lslot[:n]
+            out["lobs_kf"][:n] = kfi
+            out["lobs_slot"][:n] = si
         return out
 
     def apply_line_ba_result(self, lpack, line_U, line_w, lobs_inlier):
@@ -493,8 +761,10 @@ class MapStore:
         self.ln_start[ids] = nclosest_points_on_line(n, v, self.ln_start[ids])
         self.ln_end[ids] = nclosest_points_on_line(n, v, self.ln_end[ids])
         inl = np.asarray(lobs_inlier)
-        for o in np.nonzero(~inl[: lpack["n_lobs"]] & lpack["lobs_valid"][: lpack["n_lobs"]])[0]:
-            self.kf_ln_obs[lpack["lobs_kf"][o], lpack["lobs_slot"][o]] = -1
+        nlo = lpack["n_lobs"]
+        bad = np.nonzero(~inl[:nlo] & lpack["lobs_valid"][:nlo])[0]
+        if len(bad):
+            self.kf_ln_obs[lpack["lobs_kf"][bad], lpack["lobs_slot"][bad]] = -1
 
     def apply_ba_result(self, pack, result):
         """Write back optimized poses/points; erase outlier observations."""
@@ -502,15 +772,64 @@ class MapStore:
         fixed = pack["cam_fixed"][: len(cams)]
         R = np.asarray(result.R)
         t = np.asarray(result.t)
-        for i, k in enumerate(cams):
-            if not fixed[i]:
-                self.kf_R[k] = R[i]
-                self.kf_t[k] = t[i]
+        free = ~fixed
+        self.kf_R[cams[free]] = R[: len(cams)][free]
+        self.kf_t[cams[free]] = t[: len(cams)][free]
         lm_ids = pack["lm_ids"]
         new_pts = np.asarray(result.points)[: len(lm_ids)]
         self.pt_pos[lm_ids] = new_pts
         inl = np.asarray(result.obs_inlier)
         n_obs = pack["n_obs"]
         bad = np.nonzero(~inl[:n_obs] & pack["obs_valid"][:n_obs])[0]
-        for o in bad:
-            self.kf_obs_lm[pack["obs_kf"][o], pack["obs_feat"][o]] = -1
+        if len(bad):
+            self.kf_obs_lm[pack["obs_kf"][bad], pack["obs_feat"][bad]] = -1
+            self.touch_obs()
+
+
+def _dedup_rows(obs: np.ndarray, cap: int) -> np.ndarray:
+    """Clear duplicate landmark ids within each row of obs [K, F]
+    (keeps the first occurrence; -1 entries are ignored)."""
+    K, F = obs.shape
+    key = obs.astype(np.int64) + np.arange(K, dtype=np.int64)[:, None] * (cap + 2)
+    key = np.where(obs >= 0, key, -1)
+    flat = key.ravel()
+    order = np.argsort(flat, kind="stable")
+    sorted_keys = flat[order]
+    dup_sorted = np.zeros(len(flat), bool)
+    dup_sorted[1:] = (sorted_keys[1:] == sorted_keys[:-1]) & (sorted_keys[1:] >= 0)
+    dup = np.zeros(len(flat), bool)
+    dup[order] = dup_sorted
+    out = obs.copy().ravel()
+    out[dup] = -1
+    return out.reshape(K, F)
+
+
+def _scatter_distinctive(dest: np.ndarray, ids: np.ndarray, g: np.ndarray,
+                         descs: np.ndarray, n: int, gmax: int = 24):
+    """Per-group min-median-Hamming descriptor (the reference's
+    ComputeDistinctiveDescriptors), batched: groups padded to gmax,
+    pairwise Hamming via bit matmul, write into dest[ids]."""
+    if len(g) == 0:
+        return
+    starts = np.searchsorted(g, np.arange(n))
+    cnt = np.searchsorted(g, np.arange(n) + 1) - starts
+    slot = np.arange(len(g)) - starts[g]
+    keep = slot < gmax
+    G = int(min(max(cnt.max(), 1), gmax))
+    D = np.zeros((n, G, 32), np.uint8)
+    D[g[keep], slot[keep]] = descs[keep]
+    ccap = np.minimum(cnt, G)
+    vmask = np.arange(G)[None, :] < ccap[:, None]
+    bits = np.unpackbits(D, axis=2).astype(np.float32)  # [n, G, 256]
+    cross = np.einsum("ngb,nhb->ngh", bits, 1.0 - bits)
+    dist = cross + cross.transpose(0, 2, 1)
+    dist[~vmask[:, None, :].repeat(G, 1)] = np.inf  # invalid columns
+    ds = np.sort(dist, axis=2)
+    med_idx = np.maximum((ccap - 1) // 2, 0)
+    med = np.take_along_axis(
+        ds, med_idx[:, None, None].repeat(G, 1), axis=2
+    )[:, :, 0]
+    med[~vmask] = np.inf
+    best = np.argmin(med, axis=1)
+    has = ccap > 0
+    dest[ids[has]] = D[np.arange(n)[has], best[has]]

@@ -132,6 +132,7 @@ def create_new_map_points(store, kf_id, cam, scale_factor=1.2, n_neighbors=5,
         # second observation in k2
         n_created = len(new_ids)
         store.kf_obs_lm[k2, idx[rows[:n_created]]] = new_ids
+        store.touch_obs()
         avail1[rows[:n_created]] = False
         created.extend(int(i) for i in new_ids)
     return np.asarray(created, np.int32)
