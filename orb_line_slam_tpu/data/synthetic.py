@@ -25,12 +25,35 @@ class SyntheticScene:
         n_lines: int = 0,
         extent=((-8.0, 8.0), (-4.0, 4.0), (2.0, 40.0)),
         seed: int = 0,
+        clear_radius: float = 0.0,
+        ground: tuple | None = None,
     ):
         rng = np.random.default_rng(seed)
         self.cam = cam
         lo = np.array([e[0] for e in extent])
         hi = np.array([e[1] for e in extent])
         self.points = rng.uniform(lo, hi, size=(n_points, 3)).astype(np.float64)
+        if clear_radius > 0.0:
+            # Keep a free corridor around the z axis (the camera path):
+            # push landmarks inside the tube radially outward, as a real
+            # street/corridor has free space along the trajectory.
+            xy = self.points[:, :2]
+            r = np.linalg.norm(xy, axis=1)
+            inside = r < clear_radius
+            scale = (clear_radius + rng.uniform(0, 2.0, inside.sum())) / np.maximum(
+                r[inside], 1e-6
+            )
+            xy[inside] *= scale[:, None]
+        if ground is not None:
+            # Road-surface landmarks (KITTI-like): a fraction of points
+            # lies on a textured ground plane y ≈ y0 below the camera,
+            # supplying the close features the keyframe policy's
+            # tracked-close counters assume (+y is down in camera frame).
+            y0, frac = ground
+            n_g = int(n_points * frac)
+            g = rng.uniform(lo, hi, size=(n_g, 3))
+            g[:, 1] = y0 + rng.normal(0.0, 0.05, n_g)
+            self.points[:n_g] = g
         # Distinctive textured billboard per landmark with a fixed
         # PHYSICAL size: the projected patch scales with depth, so
         # appearance is geometrically consistent under camera motion

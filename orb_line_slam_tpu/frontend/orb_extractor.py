@@ -48,8 +48,17 @@ class FrameFeatures(NamedTuple):
 
 
 def _detect_level(img, quota, cfg: OrbConfig):
-    """FAST + NMS + grid top-K on one level (no description yet)."""
-    score = nms3x3(fast_score_map(img))
+    """FAST + NMS + grid top-K on one level (no description yet).
+
+    Returns (xy int32, delta float32 [-0.5,0.5], resp, valid): delta is
+    the sub-pixel offset from a 1D parabola fit over the raw FAST score
+    in each axis.  The reference keeps integer keypoints per level
+    (src/ORBextractor.cc); the sub-pixel refinement measurably
+    stabilizes octave selection, orientation and BRIEF under sub-pixel
+    image motion (see frontend docstring) — detections jitter by ±0.5
+    level-pixels otherwise, which at level 5 is ±3.7 px at level 0."""
+    raw = fast_score_map(img)
+    score = nms3x3(raw)
     h, w = img.shape
     m = cfg.edge_margin
     ys = jnp.arange(h)[:, None]
@@ -59,7 +68,49 @@ def _detect_level(img, quota, cfg: OrbConfig):
 
     n_cells = max(1, (h // cfg.cell_size) * (w // cfg.cell_size))
     k_per_cell = max(1, min(16, (3 * quota) // n_cells + 1))
-    return select_topk_grid(score, cfg.cell_size, k_per_cell, quota, cfg.min_th_fast)
+    xy, resp, valid = select_topk_grid(
+        score, cfg.cell_size, k_per_cell, quota, cfg.min_th_fast
+    )
+    # Sub-pixel: parabola over the raw (pre-NMS) score in each axis.
+    x, y = xy[:, 0], xy[:, 1]
+
+    def at(dy, dx):
+        return raw[jnp.clip(y + dy, 0, h - 1), jnp.clip(x + dx, 0, w - 1)]
+
+    sc = at(0, 0)
+    dl, dr = at(0, -1), at(0, 1)
+    du, dd = at(-1, 0), at(1, 0)
+    denx = 2.0 * sc - dl - dr
+    deny = 2.0 * sc - du - dd
+    dx = jnp.where(denx > 1e-6, 0.5 * (dr - dl) / denx, 0.0)
+    dy = jnp.where(deny > 1e-6, 0.5 * (dd - du) / deny, 0.0)
+    delta = jnp.stack([dx, dy], axis=-1)
+    delta = jnp.clip(delta, -0.5, 0.5)
+    return xy, delta, resp, valid
+
+
+def shift_tiles(tiles: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Resample [N, 32, 32] tiles so the keypoint's sub-pixel position
+    lands exactly on tile index (15, 15): bilinear shift by -delta,
+    expressed as 9 static slices of an edge-padded tile (pure VPU)."""
+    tp = jnp.pad(tiles, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    dx = delta[:, 0][:, None, None]
+    dy = delta[:, 1][:, None, None]
+    wx = {
+        -1: jnp.maximum(-dx, 0.0),
+        0: 1.0 - jnp.abs(dx),
+        1: jnp.maximum(dx, 0.0),
+    }
+    wy = {
+        -1: jnp.maximum(-dy, 0.0),
+        0: 1.0 - jnp.abs(dy),
+        1: jnp.maximum(dy, 0.0),
+    }
+    out = jnp.zeros_like(tiles)
+    for oy, wyo in wy.items():
+        for ox, wxo in wx.items():
+            out = out + wyo * wxo * tp[:, 1 + oy : 33 + oy, 1 + ox : 33 + ox]
+    return out
 
 
 def blur_tiles(tiles: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.ndarray:
@@ -119,19 +170,26 @@ def extract_orb_with_tiles(image: jnp.ndarray, cfg: OrbConfig):
     quotas = cfg.level_quotas
     scales = cfg.level_scales
 
-    all_xy, all_axy, all_resp, all_oct, all_valid = [], [], [], [], []
+    all_xy, all_axy, all_d, all_resp, all_oct, all_valid = [], [], [], [], [], []
     for lvl in range(cfg.n_levels):
-        xy, resp, valid = _detect_level(levels[lvl], quotas[lvl], cfg)
-        all_xy.append(xy.astype(jnp.float32) * scales[lvl])
+        xy, delta, resp, valid = _detect_level(levels[lvl], quotas[lvl], cfg)
+        all_xy.append((xy.astype(jnp.float32) + delta) * scales[lvl])
         all_axy.append(xy + jnp.array([[0, 1]], jnp.int32) * offs[lvl])
+        all_d.append(delta)
         all_resp.append(resp)
         all_oct.append(jnp.full((quotas[lvl],), lvl, dtype=jnp.int32))
         all_valid.append(valid)
 
     axy = jnp.concatenate(all_axy, axis=0)  # atlas coords, int32
-    tiles = gather_patch_tiles(atlas_raw, axy)
-    angles = ic_angle_from_tiles(tiles)
-    desc = brief_descriptors_from_tiles(blur_tiles(tiles), angles)
+    tiles = shift_tiles(
+        gather_patch_tiles(atlas_raw, axy), jnp.concatenate(all_d, axis=0)
+    )
+    tiles_blur = blur_tiles(tiles)
+    # Orientation from the blurred tile: the raw intensity centroid is
+    # noise-dominated for weak-gradient patches; blur stabilizes the
+    # angle (and therefore the BRIEF rotation bin) across frames.
+    angles = ic_angle_from_tiles(tiles_blur)
+    desc = brief_descriptors_from_tiles(tiles_blur, angles)
 
     feat = FrameFeatures(
         xy=jnp.concatenate(all_xy, axis=0),
@@ -176,11 +234,12 @@ def extract_orb_stereo(img_left: jnp.ndarray, img_right: jnp.ndarray, cfg: OrbCo
         img = image.astype(jnp.float32)
         levels = build_pyramid(img, cfg.n_levels, cfg.scale_factor)
         atlas, offs = pyramid_atlas(levels)
-        all_xy, all_axy, all_resp, all_oct, all_valid = [], [], [], [], []
+        all_xy, all_axy, all_d, all_resp, all_oct, all_valid = [], [], [], [], [], []
         for lvl in range(cfg.n_levels):
-            xy, resp, valid = _detect_level(levels[lvl], cfg.level_quotas[lvl], cfg)
-            all_xy.append(xy.astype(jnp.float32) * cfg.level_scales[lvl])
+            xy, delta, resp, valid = _detect_level(levels[lvl], cfg.level_quotas[lvl], cfg)
+            all_xy.append((xy.astype(jnp.float32) + delta) * cfg.level_scales[lvl])
             all_axy.append(xy + jnp.array([[0, 1]], jnp.int32) * offs[lvl])
+            all_d.append(delta)
             all_resp.append(resp)
             all_oct.append(jnp.full((cfg.level_quotas[lvl],), lvl, dtype=jnp.int32))
             all_valid.append(valid)
@@ -191,6 +250,7 @@ def extract_orb_stereo(img_left: jnp.ndarray, img_right: jnp.ndarray, cfg: OrbCo
                 jnp.concatenate(all_resp),
                 jnp.concatenate(all_oct),
                 jnp.concatenate(all_valid),
+                jnp.concatenate(all_d),
             )
         )
         atlases.append(atlas)
@@ -198,18 +258,27 @@ def extract_orb_stereo(img_left: jnp.ndarray, img_right: jnp.ndarray, cfg: OrbCo
     # Two DMA launches (one per image atlas; the scalar-prefetch SMEM
     # budget caps keypoints per launch anyway) but ONE orientation/
     # blur/BRIEF pass over the concatenated tiles.
-    tiles = jnp.concatenate(
+    tiles_raw = jnp.concatenate(
         [
             gather_patch_tiles(atlases[0], per_image[0][1]),
             gather_patch_tiles(atlases[1], per_image[1][1]),
         ]
     )
-    angles = ic_angle_from_tiles(tiles)
-    desc = brief_descriptors_from_tiles(blur_tiles(tiles), angles)
+    # Descriptors/orientation: sub-pixel-aligned tiles (stability).
+    # Stereo SAD keeps the RAW integer-aligned tiles: bilinear shifting
+    # blurs each side by a different sub-pixel phase, and that asymmetry
+    # biases the SAD parabola ~0.04 px one-sided (≈+0.1% depth), which
+    # the keyframe feedback loop integrates into forward drift.
+    tiles = shift_tiles(
+        tiles_raw, jnp.concatenate([per_image[0][5], per_image[1][5]])
+    )
+    tiles_blur = blur_tiles(tiles)
+    angles = ic_angle_from_tiles(tiles_blur)
+    desc = brief_descriptors_from_tiles(tiles_blur, angles)
 
     n = cfg.n_features
     feats = []
-    for i, (xy, _, resp, octv, valid) in enumerate(per_image):
+    for i, (xy, _, resp, octv, valid, _d) in enumerate(per_image):
         feats.append(
             FrameFeatures(
                 xy=xy,
@@ -220,4 +289,4 @@ def extract_orb_stereo(img_left: jnp.ndarray, img_right: jnp.ndarray, cfg: OrbCo
                 valid=valid,
             )
         )
-    return feats[0], tiles[:n], feats[1], tiles[n:], atlases[1], offs
+    return feats[0], tiles_raw[:n], feats[1], tiles_raw[n:], atlases[1], offs

@@ -139,10 +139,14 @@ def stereo_match(
     matched = (best_d < TH_STEREO) & mutual & separated
 
     # --- SAD sub-pixel refinement at the LEFT keypoint's level ---------
+    # Integer-aligned windows on BOTH sides: bilinear resampling at a
+    # fractional phase blurs one side more than the other, which biases
+    # the SAD parabola ~0.04 px one-sided; integer alignment keeps the
+    # residual pixel-locking bias symmetric (zero-mean over disparities).
     sc = scales[octL]
     uR0 = uR[best_idx]
-    xr0 = uR0 / sc                       # scaled right column (fractional)
-    yl = vL / sc                         # integer at the left level
+    xr0 = jnp.floor(uR0 / sc)            # scaled right column (integer)
+    yl = jnp.round(vL / sc)              # integer row at the left level
     cy = yl + offsR[octL].astype(jnp.float32)  # atlas row
 
     c = 15  # tile center index

@@ -355,6 +355,8 @@ class LoopCloser:
             store.kf_R[k] = Rk2
             store.kf_t[k] = tk2 / sk  # renormalize scale into t
 
+        store.mark_all_pts_dirty()
+
         # Record the loop edge (measurement = corrected relative pose).
         self.loop_edges.append(
             LoopEdge(kf_id, cand, s_lc, np.asarray(R_lc), np.asarray(t_lc))
@@ -469,6 +471,7 @@ class LoopCloser:
 
         store.kf_R[:Kpad] = R
         store.kf_t[:Kpad] = t / s[:, None]
+        store.mark_all_pts_dirty()
 
     # ------------------------------------------------------------------
     def run_global_ba(self, iters1: int = 5, iters2: int = 10):
@@ -478,7 +481,7 @@ class LoopCloser:
         if out is None:
             return
         pack, res = out
-        self._apply_gba(pack, res, snap_kf=self.map._next_kf)
+        self._apply_gba(pack, res, snap_valid=self.map.kf_valid.copy())
 
     def dispatch_global_ba(self, iters1: int = 5, iters2: int = 10):
         """Dispatch global BA without blocking (JAX async dispatch runs
@@ -488,23 +491,23 @@ class LoopCloser:
         if out is None:
             return
         pack, res = out
-        self._pending_gba = (pack, res, self.map._next_kf)
+        self._pending_gba = (pack, res, self.map.kf_valid.copy())
 
     def poll_global_ba(self, force: bool = False) -> bool:
         """Apply a pending global-BA result if it has finished on device
         (or unconditionally with force=True).  Returns True if applied."""
         if self._pending_gba is None:
             return False
-        pack, res, snap_kf = self._pending_gba
+        pack, res, snap_valid = self._pending_gba
         if not force:
             ready = getattr(res.R, "is_ready", None)
             if ready is not None and not ready():
                 return False
         self._pending_gba = None
-        self._apply_gba(pack, res, snap_kf)
+        self._apply_gba(pack, res, snap_valid)
         return True
 
-    def _apply_gba(self, pack, res, snap_kf: int):
+    def _apply_gba(self, pack, res, snap_valid: np.ndarray):
         """Write back the GBA solution; keyframes/landmarks created
         after the snapshot (while the solve was in flight) are corrected
         through the spanning chain / their reference keyframe's motion —
@@ -512,17 +515,24 @@ class LoopCloser:
         RunGlobalBundleAdjustment (SURVEY.md §3.4)."""
         store = self.map
         Kn = store._next_kf
+        if snap_valid.shape[0] < Kn:  # keyframe axis grew mid-solve
+            snap_valid = np.pad(snap_valid, (0, Kn - snap_valid.shape[0]))
         old_R = store.kf_R[:Kn].copy()
         old_t = store.kf_t[:Kn].copy()
         store.apply_ba_result(pack, res)
-        # Keyframes created during the solve: T_k_new = (T_k_old ∘
-        # T_p_old^-1) ∘ T_p_new with p the nearest earlier live KF.
-        for k in range(snap_kf, Kn):
-            if not store.kf_valid[k]:
-                continue
-            p = k - 1
-            while p >= 0 and not store.kf_valid[p]:
-                p -= 1
+        # Keyframes created during the solve (valid now, not at the
+        # snapshot — ids may be recycled slots): T_k_new = (T_k_old ∘
+        # T_p_old^-1) ∘ T_p_new with p the spanning-tree parent (falls
+        # back to the nearest live earlier KF).
+        fresh = np.nonzero(
+            store.kf_valid[:Kn] & ~snap_valid[:Kn]
+        )[0]
+        for k in fresh:
+            p = int(store.kf_parent[k])
+            if p < 0 or not store.kf_valid[p] or snap_valid.shape[0] <= p or not snap_valid[p]:
+                p = k - 1
+                while p >= 0 and (not store.kf_valid[p] or not snap_valid[p]):
+                    p -= 1
             if p < 0:
                 continue
             R_rel = old_R[k] @ old_R[p].T
@@ -533,6 +543,7 @@ class LoopCloser:
         in_pack = np.zeros(store.P, bool)
         in_pack[pack["lm_ids"]] = True
         self._ride_first_kf(old_R, old_t, Kn, skip_points=in_pack)
+        store.mark_all_pts_dirty()
 
     def _ride_first_kf(self, old_R, old_t, Kn, skip_points=None):
         """Re-anchor landmarks to their first keyframe's corrected pose:

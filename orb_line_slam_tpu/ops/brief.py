@@ -163,17 +163,33 @@ def quantize_angle(angles: jnp.ndarray) -> jnp.ndarray:
     return jnp.mod(b, N_ANGLE_BINS)
 
 
+# Minimum intensity-centroid offset (pixels) for the angle to be
+# considered signal.  Below it the IC angle is noise: steering BRIEF by
+# a noisy angle decorrelates descriptors frame to frame (measured on the
+# synthetic bench: median cross-frame Hamming 24 steered vs 13 upright
+# for weak-centroid patches).  Snapping weak patches to upright trades
+# their (already unreliable) rotation invariance for repeatability —
+# strong corners keep full steering.
+IC_MIN_OFFSET_PX = 0.5
+
+
 def ic_angle_from_tiles(tiles: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid angle from [N, 32, 32] tiles (center (15,15)):
-    two 1024-dot products — MXU/VPU friendly."""
+    three 1024-dot products — MXU/VPU friendly.  Weak centroids snap to
+    upright (see IC_MIN_OFFSET_PX)."""
     mask = jnp.asarray(circular_mask())  # [31, 31]
     d = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=jnp.float32)
     wu = (mask * d[None, :]).reshape(-1)  # weight for m10
     wv = (mask * d[:, None]).reshape(-1)  # weight for m01
+    w0 = mask.reshape(-1)                 # weight for m00
     flat = tiles[:, :31, :31].reshape(tiles.shape[0], -1)
     m10 = flat @ wu
     m01 = flat @ wv
-    return jnp.arctan2(m01, m10)
+    m00 = flat @ w0
+    offset = jnp.sqrt(m10 * m10 + m01 * m01) / jnp.maximum(m00, 1e-6)
+    return jnp.where(
+        offset >= IC_MIN_OFFSET_PX, jnp.arctan2(m01, m10), 0.0
+    )
 
 
 def brief_descriptors_from_tiles(

@@ -128,8 +128,10 @@ class System:
         self.loop_closer = None
 
     def shutdown(self):
-        """Join outstanding asynchronous work (deferred local BA,
-        in-flight global BA) — the reference's thread-join shutdown."""
+        """Join outstanding asynchronous work (pipelined frames,
+        deferred local BA, in-flight global BA) — the reference's
+        thread-join shutdown."""
+        self.tracker.flush()
         self.tracker.flush_pending_ba()
         if self.loop_closer is not None:
             self.loop_closer.poll_global_ba(force=True)

@@ -71,19 +71,27 @@ class MapMirror(NamedTuple):
 
 
 class TrackOut(NamedTuple):
-    R: jnp.ndarray              # float32 [3,3] final pose
+    """Per-frame device outputs.  In the steady-state pipelined loop the
+    host fetches ONLY `packed` (one ~100 B transfer, overlapped with the
+    next frame's compute); everything else is either a device carry fed
+    straight into the next frame's dispatch (R, t, Rv, tv, ok,
+    assoc_gid, found_acc, vis_acc) or fetched lazily at keyframe events
+    (assoc_gid, ln_match_*, found_acc, vis_acc via pack_kf_event)."""
+
+    R: jnp.ndarray              # float32 [3,3] final pose (carry)
     t: jnp.ndarray              # float32 [3]
+    Rv: jnp.ndarray             # float32 [3,3] velocity T_k<-k-1 (carry)
+    tv: jnp.ndarray             # float32 [3]
+    ok: jnp.ndarray             # bool — tracking succeeded (carry: has_velocity)
     assoc_gid: jnp.ndarray      # int32 [N] global landmark id per feature (-1)
     inliers: jnp.ndarray        # bool [N] pose-opt-2 point inliers
-    n_inliers: jnp.ndarray      # int32 (points + lines)
-    used_motion: jnp.ndarray    # bool — path A selected
-    stage1_ok: jnp.ndarray      # bool — either path produced a pose
-    n_stage1: jnp.ndarray       # int32 inliers of the selected stage-1 opt
-    visible_snap: jnp.ndarray   # bool [cap] snapshot landmark in frustum
-    tracked_close: jnp.ndarray  # int32 (KF decision: close & tracked)
-    untracked_close: jnp.ndarray  # int32
+    found_acc: jnp.ndarray      # int32 [cap] per-snapshot found counter (carry)
+    vis_acc: jnp.ndarray        # int32 [cap] per-snapshot visible counter (carry)
     ln_match_idx: jnp.ndarray   # int32 [Lcap] map line -> frame line row
     ln_match_mask: jnp.ndarray  # bool [Lcap]
+    packed: jnp.ndarray         # float32 [19] — the ONLY per-frame fetch:
+    # [0:9]=R, [9:12]=t, 12=ok, 13=n_inliers, 14=used_motion,
+    # 15=stage1_ok, 16=n_stage1, 17=tracked_close, 18=untracked_close
 
 
 def _invert_matches(m_idx, m_mask, n_rows: int, n_feats: int):
@@ -106,6 +114,8 @@ def track_step(
     ref_xy, ref_desc, ref_angle, ref_slots,
     # Local-map snapshot landmark ids [cap] (-1 pad; per-KF upload):
     snap_ids,
+    # Per-snapshot found/visible accumulators (device carries):
+    found_acc, vis_acc,
     # Lines (dummy [8]-arrays when has_lines=False):
     lf,                          # LineFeatures pytree or None
     ln_start, ln_end, ln_desc, ln_valid,
@@ -201,16 +211,27 @@ def track_step(
     )
     okB = (n_ref >= 15) & (resB.n_inliers >= 10)
 
-    # ---- Branchless select (reference: fallback ladder) --------------
-    use_mm = okA
+    # ---- Branchless select (reference: fallback ladder, upgraded) -----
+    # The reference prefers the motion model whenever it "succeeds";
+    # measured on the synthetic bench that lets a marginally-successful
+    # path A (its matches are selected BY the velocity prediction, so
+    # they confirm it) outvote a healthier reference-KF solution and
+    # compound forward drift geometrically.  Both paths are computed
+    # anyway (branchless), so: pick the stage-1 pose by inlier count,
+    # and feed the UNION of both association sets into the final joint
+    # optimization (chi2 gating prunes whichever half is wrong).
+    scoreA = jnp.where(okA, resA.n_inliers, -1)
+    scoreB = jnp.where(okB, resB.n_inliers, -1)
+    use_mm = okA & (scoreA >= scoreB)
     stage1_ok = okA | okB
     R1 = jnp.where(use_mm, resA.R, resB.R)
     t1 = jnp.where(use_mm, resA.t, resB.t)
     n1 = jnp.where(use_mm, resA.n_inliers, resB.n_inliers)
-    sel1 = jnp.where(use_mm, selA & resA.inliers, selB & resB.inliers)
-    gid1 = jnp.where(use_mm, gidA, gidB)
-    gid1 = jnp.where(sel1, gid1, -1)
-    pts1 = jnp.where(use_mm, ptsA.T, ptsB.T).T
+    selA_in = selA & resA.inliers & okA
+    selB_in = selB & resB.inliers & okB
+    sel1 = selA_in | selB_in
+    gid1 = jnp.where(selA_in, gidA, jnp.where(selB_in, gidB, -1))
+    pts1 = jnp.where(selA_in[:, None], ptsA, ptsB)
 
     # ---- Local map search at the selected pose ------------------------
     # Exclude snapshot landmarks already associated in stage 1 (by gid).
@@ -280,10 +301,73 @@ def track_step(
     tracked_close = jnp.sum((close & (gid_out >= 0)).astype(jnp.int32))
     untracked_close = jnp.sum((close & (gid_out < 0)).astype(jnp.int32))
 
-    return TrackOut(
-        R=res2.R, t=res2.t, assoc_gid=gid_out, inliers=res2.inliers,
-        n_inliers=res2.n_inliers, used_motion=use_mm, stage1_ok=stage1_ok,
-        n_stage1=n1, visible_snap=visible_snap,
-        tracked_close=tracked_close, untracked_close=untracked_close,
-        ln_match_idx=ln_match_idx, ln_match_mask=ln_match_mask,
+    # ---- Device carries for the next frame -----------------------------
+    ok = stage1_ok & (res2.n_inliers >= 10)
+    R_out = jnp.where(ok, res2.R, R_last)
+    t_out = jnp.where(ok, res2.t, t_last)
+    # velocity = T_k ∘ T_{k-1}^{-1}
+    Ri, ti = R_last.T, -jnp.einsum("ji,j->i", R_last, t_last)
+    Rv_out, tv_out = se3_compose(R_out, t_out, Ri, ti)
+
+    # found/visible accumulators (IncreaseFound / IncreaseVisible):
+    # applied to the host map only at keyframe events.
+    found_hit = jnp.any(
+        (snap_gid[:, None] == gid_out[None, :]) & (gid_out >= 0)[None, :],
+        axis=1,
     )
+    found_acc2 = found_acc + found_hit.astype(jnp.int32)
+    vis_acc2 = vis_acc + visible_snap.astype(jnp.int32)
+
+    f32 = lambda x: jnp.asarray(x, jnp.float32).reshape(-1)  # noqa: E731
+    packed = jnp.concatenate([
+        f32(R_out), f32(t_out), f32(ok), f32(res2.n_inliers), f32(use_mm),
+        f32(stage1_ok), f32(n1), f32(tracked_close), f32(untracked_close),
+    ])
+
+    return TrackOut(
+        R=R_out, t=t_out, Rv=Rv_out, tv=tv_out, ok=ok,
+        assoc_gid=gid_out, inliers=res2.inliers,
+        found_acc=found_acc2, vis_acc=vis_acc2,
+        ln_match_idx=ln_match_idx, ln_match_mask=ln_match_mask,
+        packed=packed,
+    )
+
+
+@jax.jit
+def zero_stats(out: TrackOut) -> TrackOut:
+    """Reset the found/visible accumulators in a carry (dispatched at
+    keyframe events after the host consumed them — no uploads)."""
+    return out._replace(
+        found_acc=jnp.zeros_like(out.found_acc),
+        vis_acc=jnp.zeros_like(out.vis_acc),
+    )
+
+
+@jax.jit
+def override_carry(out: TrackOut, R, t) -> TrackOut:
+    """Rewrite the pose carry after a host-side pose correction (BA
+    ride-along, loop closure). Velocity is frame-relative and survives
+    rigid re-anchoring, so it is kept."""
+    return out._replace(R=R, t=t)
+
+
+@jax.jit
+def pack_kf_event(frame, out: TrackOut):
+    """Flatten everything the host needs at a keyframe event into ONE
+    float32 buffer (a single ~180 KB fetch instead of ~15 round-trips
+    through the ~22 ms-latency tunnel): the full feature table of the
+    keyframe's frame, the association vector, line matches, and the
+    found/visible accumulators."""
+    N = frame.xy.shape[0]
+    f32 = lambda x: jnp.asarray(x, jnp.float32).reshape(-1)  # noqa: E731
+    desc32 = jax.lax.bitcast_convert_type(
+        frame.desc.reshape(N, 8, 4), jnp.float32
+    )
+    return jnp.concatenate([
+        f32(frame.xy), f32(frame.u_right), f32(frame.depth),
+        f32(frame.octave), f32(frame.angle), f32(frame.valid),
+        f32(frame.response), f32(desc32),
+        f32(out.assoc_gid), f32(out.inliers),
+        f32(out.ln_match_idx), f32(out.ln_match_mask),
+        f32(out.found_acc), f32(out.vis_acc),
+    ])

@@ -3,13 +3,31 @@
 TPU-native rebuild of src/Tracking.cc and src/LocalMapping.cc
 (SURVEY.md §2.1 rows 2-3, §3.2-3.3).  The reference's
 Tracking/LocalMapping pthreads become two device programs driven from
-one host loop: a per-frame ``track`` (motion-model match → pose opt →
-local-map match → pose opt) and a per-keyframe ``map step`` (landmark
-creation, culling, local BA).  All device work is static-shape jitted;
-the host does bookkeeping only.
+one host loop: a per-frame fused ``track_step`` and a per-keyframe map
+step (landmark creation, culling, local BA).  All device work is
+static-shape jitted; the host does bookkeeping only.
+
+Pipelined execution (the tunnel-latency redesign): the axon PJRT
+tunnel costs ~22 ms per blocking host↔device round-trip, so the
+steady-state loop NEVER uploads per-frame state and fetches ONE ~100 B
+packed vector per frame:
+
+- pose, velocity, association and found/visible statistics are device
+  carries — each ``track_step`` output feeds the next dispatch
+  directly (zero uploads per frame);
+- with ``pipeline_depth=1`` the host consumes frame k-1's packed
+  output while frame k's device program runs, hiding the fetch
+  latency entirely (the reference hides mapping latency behind its
+  LocalMapping pthread the same way — SURVEY.md §2.4);
+- keyframe events fetch one packed buffer (pack_kf_event) and refresh
+  the device map mirror with one packed delta upload (pipeline/
+  mirror.py) instead of ~15 array transfers.
 
 State machine: NOT_INITIALIZED → OK ↔ LOST, as the reference
 (relocalization against keyframe descriptors brings LOST back to OK).
+Interventions that rewrite host pose state (relocalization, loop
+corrections) drain the pipeline and re-dispatch queued frames
+synchronously — rare by construction.
 """
 
 from __future__ import annotations
@@ -34,7 +52,12 @@ from ..geometry.host import (
 )
 from ..matching.point_matcher import match_descriptors, rotation_consistency
 from ..slam_map.map_store import MapStore
-from .track_step import MapMirror, track_step
+from .track_step import (
+    MapMirror,
+    pack_kf_event,
+    track_step,
+    zero_stats,
+)
 
 
 @dataclasses.dataclass
@@ -45,6 +68,20 @@ class TrajectoryEntry:
     R_rel: np.ndarray  # T_cam<-refKF
     t_rel: np.ndarray
     lost: bool
+
+
+@dataclasses.dataclass
+class _PipeEntry:
+    """One in-flight frame: dispatched, not yet host-consumed."""
+
+    fid: int
+    ts: float
+    frame: Frame                  # device pytree
+    prev_frame: Frame             # device pytree of the prior frame
+    lines: object                 # LineFeatures or None
+    out: object                   # TrackOut (device)
+    snap_host: np.ndarray         # snapshot global ids at dispatch time
+    ln_ids: Optional[np.ndarray]  # mirror line ids at dispatch time
 
 
 class Tracker:
@@ -67,15 +104,20 @@ class Tracker:
         self.frames_since_kf = 0
         self.ref_kf_matches = 0
         self.recent_lm: list[np.ndarray] = []
+        self.recent_ln: list[np.ndarray] = []
         self.trajectory: list[TrajectoryEntry] = []
         self.stats: list[dict] = []
         self.on_keyframe = None          # callback(kf_id) after insertion
         self.localization_only = False   # tracking-only mode
         self.reloc_candidates_fn = None  # BoW relocalization candidates
-        # Defer local-BA write-back to the next keyframe event by
-        # default: tracking never blocks on mapping (the reference's
-        # LocalMapping-pthread property, SURVEY.md §7.2 hard-part #4).
+        # Defer local-BA write-back (applied by a non-blocking poll when
+        # the device solve lands): tracking never blocks on mapping (the
+        # reference's LocalMapping-pthread property, SURVEY §7.2 #4).
         self.async_mapping = True
+        # 0 = consume each frame's result immediately (exact, simple);
+        # 1 = lag one frame so the packed fetch overlaps the next
+        # frame's device compute (steady-state throughput mode).
+        self.pipeline_depth = 0
         # Trajectory entries indexed by reference KF, so culling a KF
         # re-anchors its entries to the spanning-tree parent in O(own).
         self._traj_by_kf: dict[int, list[TrajectoryEntry]] = {}
@@ -83,16 +125,25 @@ class Tracker:
         self._pending_ba = None
         self.is_mono = False
         self.cur_frame = None
-        self._fh_frame_id = -1           # lazy host mirror bookkeeping
+        self._fh_key = None              # lazy host frame mirror
+        self.cur_fh = None
         # Device-side map mirror: refreshed per map MUTATION (keyframe
-        # events), not per frame — see _refresh_mirror.
+        # events), incrementally — see _refresh_mirror.
         self._mir = None
         self._mirror_dirty = True
-        self._last_gid_dev = None        # device assoc of the last frame
+        self._ref_frame_dev = None       # device Frame of the ref KF
+        self._ref_frame_kf = -1
+        # Pipeline state.
+        self._q: list[_PipeEntry] = []
+        self._carry = None               # (frame, TrackOut) device carries
 
     # ------------------------------------------------------------------
+    # public per-frame entry points
+    # ------------------------------------------------------------------
     def process_stereo(self, img_left, img_right, timestamp: float = 0.0):
-        """Track one rectified stereo pair; returns 4x4 Tcw (world->cam)."""
+        """Track one rectified stereo pair; returns 4x4 Tcw (world->cam)
+        of the most recently *consumed* frame (the current frame when
+        pipeline_depth=0)."""
         self.frame_id += 1
         l = jnp.asarray(img_left)
         r = jnp.asarray(img_right)
@@ -119,10 +170,16 @@ class Tracker:
             self.cur_frame = frame
             self._fh(frame)
             self._try_mono_initialize(frame, timestamp)
-            self._record(timestamp, lost=(self.state != "OK"))
+            self._record(self.frame_id, timestamp, lost=(self.state != "OK"))
             return self.current_pose()
         return self._track(frame, timestamp)
 
+    def flush(self):
+        """Drain the pipeline (consume every in-flight frame)."""
+        while self._q:
+            self._consume()
+
+    # ------------------------------------------------------------------
     def _try_mono_initialize(self, frame: Frame, timestamp):
         from ..frontend.initializer import initialize_two_view
 
@@ -191,83 +248,161 @@ class Tracker:
         self.vel = None
         self.frames_since_kf = 0
         self._local_ba(kf1)
+        self.poll_pending_ba()
         if self.on_keyframe is not None:
             self.on_keyframe(kf0)
             self.on_keyframe(kf1)
-        self._last_gid_dev = None
+        self._ref_frame_dev = frame
+        self._ref_frame_kf = kf1
+        self._carry = None
         self.mark_map_dirty()
 
     # ------------------------------------------------------------------
     def _fh(self, frame: Frame):
-        """Lazy host mirror of the current frame (ONE batched fetch,
-        only taken on paths that need host-side feature data: map init,
-        relocalization, keyframe creation)."""
-        if self._fh_frame_id != self.frame_id:
+        """Lazy host mirror of a frame (ONE batched fetch, only on paths
+        that need host-side feature data: map init, relocalization)."""
+        if self._fh_key is not frame:
             self.cur_fh = jax.device_get(frame)
-            self._fh_frame_id = self.frame_id
+            self._fh_key = frame
         return self.cur_fh
 
+    # ------------------------------------------------------------------
+    # steady-state: dispatch + consume
+    # ------------------------------------------------------------------
     def _track(self, frame: Frame, timestamp: float):
         self.cur_frame = frame
         # Apply a deferred local-BA result the moment the device solve
-        # lands (non-blocking poll) — tracking never waits on mapping,
-        # but mono scale drift doesn't accumulate a whole KF interval.
+        # lands (non-blocking poll).
         self.poll_pending_ba()
 
         if self.state == "NOT_INITIALIZED":
             fh = self._fh(frame)
             if int((fh.depth > 0).sum()) >= 100:
                 self._stereo_initialize(frame, timestamp)
-            self._record(timestamp, lost=(self.state != "OK"))
+            self._record(self.frame_id, timestamp, lost=(self.state != "OK"))
             return self.current_pose()
 
-        # ONE fused device program covers motion-model match + pose opt,
-        # reference-KF match + pose opt, branchless fallback select,
-        # local-map search, map-line match and the final joint pose opt
-        # (pipeline/track_step.py) — one dispatch, one compact fetch.
-        out, snap_ids, ln_ids = self._dispatch_track_step(frame)
-        ok = bool(out.stage1_ok) and int(out.n_inliers) >= 10
+        out = self._dispatch_track_step(frame, self.cur_lines)
+        try:
+            out.packed.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._q.append(_PipeEntry(
+            fid=self.frame_id, ts=timestamp, frame=frame,
+            prev_frame=self._prev_for_dispatch, lines=self.cur_lines,
+            out=out, snap_host=self._mir["snap_host"],
+            ln_ids=self._mir["ln_ids"],
+        ))
+        while len(self._q) > self.pipeline_depth:
+            self._consume()
+        return self.current_pose()
+
+    def _dispatch_track_step(self, frame: Frame, lines):
+        """Dispatch the fused track step (device carries, no fetch)."""
+        if (
+            self._mirror_dirty
+            or self._mir is None
+            or self._mir["ref_kf"] != self.ref_kf
+        ):
+            self._refresh_mirror(lines)
+        mir = self._mir
+        has_lines = mir["has_lines"] and lines is not None
+
+        if self._carry is not None:
+            last_frame, prev = self._carry
+            last_gid = prev.assoc_gid
+            Rv, tv, hv = prev.Rv, prev.tv, prev.ok
+            R_last, t_last = prev.R, prev.t
+            found, vis = prev.found_acc, prev.vis_acc
+        else:
+            # Cold start after init / intervention: host uploads; path A
+            # is disabled for one frame (no velocity), so the stale
+            # association vector is never read.
+            last_frame = self.last_frame
+            last_gid = jnp.full((frame.n,), -1, jnp.int32)
+            Rv = jnp.eye(3, dtype=jnp.float32)
+            tv = jnp.zeros(3, jnp.float32)
+            hv = jnp.asarray(False)
+            R_last = jnp.asarray(self.last_R)
+            t_last = jnp.asarray(self.last_t)
+            cap = mir["snap_ids"].shape[0]
+            found = jnp.zeros(cap, jnp.int32)
+            vis = jnp.zeros(cap, jnp.int32)
+
+        out = track_step(
+            frame, last_frame,
+            mir["pt"], last_gid,
+            Rv, tv, R_last, t_last, hv,
+            mir["ref_xy"], mir["ref_desc"], mir["ref_angle"], mir["ref_slots"],
+            mir["snap_ids"], found, vis,
+            lines if has_lines else None,
+            mir["ln_start"], mir["ln_end"], mir["ln_desc"], mir["ln_valid"],
+            cfg=self.cfg, has_lines=has_lines,
+        )
+        self._prev_for_dispatch = last_frame
+        self._carry = (frame, out)
+        return out
+
+    def _redispatch(self, se: _PipeEntry):
+        """Re-run the fused step for a queued frame against fresh host
+        state (after an intervention)."""
+        self._carry = None
+        self.last_frame = se.prev_frame
+        se.out = self._dispatch_track_step(se.frame, se.lines)
+        se.snap_host = self._mir["snap_host"]
+        se.ln_ids = self._mir["ln_ids"]
+        return np.asarray(se.out.packed)
+
+    def _consume(self):
+        e = self._q.pop(0)
+        packed = np.asarray(e.out.packed)
+        ok = packed[12] > 0.5
+
         if not ok:
             # Reference ladder's last rung: relocalization (BoW/PnP).
-            r_ok, _, _ = self._relocalize(frame)
+            r_ok, _, _ = self._relocalize(e.frame)
             if r_ok:
-                # Re-run the fused step from the relocalized pose and
-                # reference KF (covers the local-map + line stages).
                 self.last_R = self.R.copy()
                 self.last_t = self.t.copy()
                 self.vel = None
-                out, snap_ids, ln_ids = self._dispatch_track_step(frame)
-                ok = bool(out.stage1_ok) and int(out.n_inliers) >= 10
+                packed = self._redispatch(e)
+                ok = packed[12] > 0.5
+                self._drain_required = True
 
-        assoc = np.asarray(out.assoc_gid)
-        n_inliers = int(out.n_inliers)
+        self._process_entry(e, packed, ok)
+        if getattr(self, "_drain_required", False):
+            self._drain_required = False
+            self._drain_stale()
+
+    def _drain_stale(self):
+        """An intervention rewrote host pose state: every later queued
+        frame was dispatched against stale carries — re-dispatch each
+        synchronously in order."""
+        stale = self._q
+        self._q = []
+        for se in stale:
+            packed = self._redispatch(se)
+            ok = packed[12] > 0.5
+            if not ok:
+                r_ok, _, _ = self._relocalize(se.frame)
+                if r_ok:
+                    packed = self._redispatch(se)
+                    ok = packed[12] > 0.5
+            self._process_entry(se, packed, ok)
+
+    def _process_entry(self, e: _PipeEntry, packed, ok: bool):
+        n_inliers = int(packed[13])
+        tracked_close = int(packed[17])
+        untracked_close = int(packed[18])
 
         if ok:
-            self.R = np.asarray(out.R)
-            self.t = np.asarray(out.t)
+            self.R = packed[0:9].reshape(3, 3).astype(np.float32)
+            self.t = packed[9:12].astype(np.float32)
             self.state = "OK"
-            # Landmark statistics (IncreaseFound / IncreaseVisible).
-            found = assoc[assoc >= 0]
-            self.map.pt_found[found] += 1
-            vis = np.asarray(out.visible_snap)[: len(snap_ids)]
-            self.map.pt_visible[snap_ids[vis]] += 1
-            # Map-line associations for keyframe creation.
-            self.cur_ln_assoc = None
-            if ln_ids is not None and len(ln_ids):
-                lmask = np.asarray(out.ln_match_mask)
-                lidx = np.asarray(out.ln_match_idx)
-                ln_assoc = np.full(self.cfg.lines.n_lines, -1, np.int32)
-                rows = np.nonzero(lmask)[0]
-                rows = rows[rows < len(ln_ids)]
-                ln_assoc[lidx[rows]] = ln_ids[rows]
-                self.cur_ln_assoc = ln_assoc
-            # velocity = T_curr * T_last^-1
+            # velocity = T_curr * T_last^-1 (host mirror of the carry)
             self.vel = nse3_relative(self.R, self.t, self.last_R, self.last_t)
-
-            if self._need_keyframe(
-                n_inliers, int(out.tracked_close), int(out.untracked_close)
-            ):
-                self._create_keyframe(frame, assoc, timestamp)
+            if self._need_keyframe(n_inliers, tracked_close, untracked_close):
+                self._create_keyframe(e, n_inliers)
                 self.frames_since_kf = 0
             else:
                 self.frames_since_kf += 1
@@ -275,35 +410,36 @@ class Tracker:
             self.state = "LOST"
             self.vel = None
 
-        self.last_frame = frame
-        self.last_assoc = assoc
+        self.last_frame = e.frame
         self.last_R = self.R.copy()
         self.last_t = self.t.copy()
         self.stats.append(
             {
-                "frame": self.frame_id,
+                "frame": e.fid,
                 "inliers": n_inliers,
                 "state": self.state,
-                "motion_model": bool(out.used_motion),
-                "tracked_close": int(out.tracked_close),
-                "untracked_close": int(out.untracked_close),
+                "motion_model": packed[14] > 0.5,
+                "tracked_close": tracked_close,
+                "untracked_close": untracked_close,
                 "is_kf": self.frames_since_kf == 0,
             }
         )
-        self._record(timestamp, lost=not ok)
-        return self.current_pose()
+        self._record(e.fid, e.ts, lost=not ok)
 
     # ------------------------------------------------------------------
     def mark_map_dirty(self):
-        """The host map mutated: re-upload the device mirror before the
+        """The host map mutated: refresh the device mirror before the
         next track dispatch.  Called at keyframe-rate events only."""
         self._mirror_dirty = True
 
-    def _refresh_mirror(self):
-        """(Re)upload the device-side map mirror (point table + ref-KF
-        tables + local-map snapshot ids + line tables).  This is the
-        ONLY bulk host→device transfer in steady-state tracking and it
-        runs per map mutation (keyframe events), not per frame."""
+    def _refresh_mirror(self, lines=None):
+        """(Re)sync the device-side map mirror.  The point table is
+        updated INCREMENTALLY: one packed uint32 delta upload covering
+        only host-dirty rows (pipeline/mirror.py); ref-KF feature tables
+        reuse the keyframe's device Frame when available; ref slots +
+        local-map snapshot ids ride one small int32 upload."""
+        from .mirror import mirror_apply, mirror_from_flat, pack_delta, pack_full
+
         m = self.map
         cfg = self.cfg
         k = self.ref_kf
@@ -311,9 +447,8 @@ class Tracker:
         cap = cfg.map.local_points
         ids, _ = m.covisible_keyframes(k, min_weight=1, max_n=20)
         local_kfs = [k] + [int(i) for i in ids]
-        lm = np.unique(
-            np.concatenate([m.kf_obs_lm[j][m.kf_obs_lm[j] >= 0] for j in local_kfs])
-        )
+        obs = m.kf_obs_lm[local_kfs]
+        lm = np.unique(obs[obs >= 0])
         lm = lm[m.pt_valid[lm]]
         if len(lm) > cap:
             # Keep the newest landmarks: older ids fall out of the local
@@ -321,8 +456,34 @@ class Tracker:
             lm = lm[-cap:]
         snap_ids = np.full(cap, -1, np.int32)
         snap_ids[: len(lm)] = lm
-        # Lines.
-        lf = self.cur_lines
+
+        # --- point table: packed delta or full upload ---
+        all_dirty, dirty = m.pop_dirty_pts()
+        if self._mir is None or all_dirty or len(dirty) > m.P // 8:
+            pt = mirror_from_flat(jnp.asarray(pack_full(m)))
+        elif len(dirty):
+            pt = mirror_apply(self._mir["pt"], jnp.asarray(pack_delta(m, dirty)))
+        else:
+            pt = self._mir["pt"]
+
+        # --- ref tables + snapshot ids: one int32 upload ---
+        aux = np.concatenate([
+            m.kf_obs_lm[k].astype(np.int32), snap_ids
+        ])
+        aux_dev = jnp.asarray(aux)
+        F = m.F
+        ref_slots = aux_dev[:F]
+        snap_dev = aux_dev[F:]
+        if self._ref_frame_dev is not None and self._ref_frame_kf == k:
+            fr = self._ref_frame_dev
+            ref_xy, ref_desc, ref_angle = fr.xy, fr.desc, fr.angle
+        else:
+            ref_xy = jnp.asarray(m.kf_xy[k])
+            ref_desc = jnp.asarray(m.kf_desc[k])
+            ref_angle = jnp.asarray(m.kf_angle[k])
+
+        # --- lines ---
+        lf = lines if lines is not None else self.cur_lines
         has_lines = (
             cfg.lines.enabled and lf is not None and bool(m.ln_valid.any())
         )
@@ -340,20 +501,12 @@ class Tracker:
             ln_descs[:nl] = m.ln_desc[ln_ids]
             ln_valid[:nl] = True
         self._mir = {
-            "pt": MapMirror(
-                pos=jnp.asarray(m.pt_pos),
-                desc=jnp.asarray(m.pt_desc),
-                oct=jnp.asarray(m.pt_oct),
-                valid=jnp.asarray(m.pt_valid),
-                maxd=jnp.asarray(m.pt_max_dist),
-                mind=jnp.asarray(m.pt_min_dist),
-                normal=jnp.asarray(m.pt_normal),
-            ),
-            "ref_xy": jnp.asarray(m.kf_xy[k]),
-            "ref_desc": jnp.asarray(m.kf_desc[k]),
-            "ref_angle": jnp.asarray(m.kf_angle[k]),
-            "ref_slots": jnp.asarray(m.kf_obs_lm[k]),
-            "snap_ids": jnp.asarray(snap_ids),
+            "pt": pt,
+            "ref_xy": ref_xy,
+            "ref_desc": ref_desc,
+            "ref_angle": ref_angle,
+            "ref_slots": ref_slots,
+            "snap_ids": snap_dev,
             "snap_host": lm,
             "ln_start": jnp.asarray(ln_starts),
             "ln_end": jnp.asarray(ln_ends),
@@ -365,45 +518,6 @@ class Tracker:
         }
         self._mirror_dirty = False
 
-    def _dispatch_track_step(self, frame: Frame):
-        """Dispatch the fused track step against the device map mirror,
-        fetch its compact output (one round-trip per frame)."""
-        if self._mirror_dirty or self._mir is None or self._mir["ref_kf"] != self.ref_kf:
-            self._refresh_mirror()
-        mir = self._mir
-        # Previous frame's association: already on device as the last
-        # step's output; upload from host only after host-side resets
-        # (initialization, relocalization assoc rewrites).
-        if self._last_gid_dev is None:
-            la = self.last_assoc
-            self._last_gid_dev = jnp.asarray(
-                np.where(la >= 0, la, -1).astype(np.int32)
-            )
-        # Velocity prior.
-        if self.vel is not None:
-            Rv, tv = self.vel
-            hv = True
-        else:
-            Rv = np.eye(3, dtype=np.float32)
-            tv = np.zeros(3, np.float32)
-            hv = False
-        has_lines = mir["has_lines"] and self.cur_lines is not None
-
-        out_dev = track_step(
-            frame, self.last_frame,
-            mir["pt"], self._last_gid_dev,
-            jnp.asarray(Rv), jnp.asarray(tv),
-            jnp.asarray(self.last_R), jnp.asarray(self.last_t),
-            jnp.asarray(hv),
-            mir["ref_xy"], mir["ref_desc"], mir["ref_angle"], mir["ref_slots"],
-            mir["snap_ids"],
-            self.cur_lines if has_lines else None,
-            mir["ln_start"], mir["ln_end"], mir["ln_desc"], mir["ln_valid"],
-            cfg=self.cfg, has_lines=has_lines,
-        )
-        self._last_gid_dev = out_dev.assoc_gid
-        return jax.device_get(out_dev), mir["snap_host"], mir["ln_ids"]
-
     # ------------------------------------------------------------------
     def current_pose(self) -> np.ndarray:
         T = np.eye(4)
@@ -411,10 +525,10 @@ class Tracker:
         T[:3, 3] = self.t
         return T
 
-    def _record(self, timestamp, lost):
+    def _record(self, frame_id, timestamp, lost):
         if self.ref_kf < 0:
             self.trajectory.append(
-                TrajectoryEntry(self.frame_id, timestamp, -1, np.eye(3), np.zeros(3), True)
+                TrajectoryEntry(frame_id, timestamp, -1, np.eye(3), np.zeros(3), True)
             )
             return
         # T_c<-r = T_cw * T_rw^-1   (replayed against the *final* KF pose
@@ -422,7 +536,7 @@ class Tracker:
         Rr, tr = self.map.kf_R[self.ref_kf], self.map.kf_t[self.ref_kf]
         Rrel, trel = nse3_relative(self.R, self.t, Rr, tr)
         e = TrajectoryEntry(
-            self.frame_id, timestamp, self.ref_kf, Rrel, trel, lost,
+            frame_id, timestamp, self.ref_kf, Rrel, trel, lost,
         )
         self.trajectory.append(e)
         self._traj_by_kf.setdefault(self.ref_kf, []).append(e)
@@ -449,6 +563,7 @@ class Tracker:
 
     def final_trajectory(self):
         """Replay per-frame relative poses against final keyframe poses."""
+        self.flush()
         out = []
         for e in self.trajectory:
             if e.ref_kf < 0:
@@ -486,7 +601,9 @@ class Tracker:
         self.last_t = self.t.copy()
         self.vel = None
         self.frames_since_kf = 0
-        self._last_gid_dev = None
+        self._ref_frame_dev = frame
+        self._ref_frame_kf = kf
+        self._carry = None
         self.mark_map_dirty()
 
     # ------------------------------------------------------------------
@@ -563,8 +680,6 @@ class Tracker:
         # First pass: EPnP RANSAC from descriptor matches against each
         # candidate's landmarks (Tracking::Relocalization's PnPsolver
         # stage) gives a pose hypothesis without any prior.
-        import jax
-
         from ..backend.pnp import solve_pnp_ransac
 
         for k in cand:
@@ -606,40 +721,59 @@ class Tracker:
             self.last_R, self.last_t = saved_R, saved_t
         return False, np.full(frame.n, -1, np.int32), 0
 
-
     # ------------------------------------------------------------------
     def _need_keyframe(self, n_inliers: int, tracked_close: int,
                        untracked_close: int):
+        """Tracking::NeedNewKeyFrame, condition for condition:
+        (c1a | c1b | c1c) & c2, with the LocalMapping-idle gate in c1b
+        mapped onto the deferred local BA being applied.  ref_kf_matches
+        is the triggering frame's inlier count (the analog of
+        TrackedMapPoints(≥2): brand-new single-observation stereo points
+        are excluded), so the decay ratios compare like with like."""
         cfg = self.cfg.tracking
         if self.localization_only:
-            return False
-        if self.map._next_kf >= self.cfg.map.max_keyframes - 2:
             return False
         need_close = tracked_close < 100 and untracked_close > 70
         is_mono = self.is_mono
         # Mono inserts more eagerly (reference: thRefRatio 0.9 mono,
         # 0.75 stereo) since landmarks only come from triangulation.
         ref_ratio = 0.9 if is_mono else 0.75
-        c1 = self.frames_since_kf >= cfg.max_frames_between_kf
-        # ref_kf_matches is the inlier count when the reference KF was
-        # created: insert when tracking quality decays below the ratio
-        # (the reference compares against the ref KF's tracked map
-        # points) or close points starve.
-        # Absolute floor (stereo/RGB-D only): refresh the map before
-        # tracking approaches the LOST boundary regardless of relative
-        # decay.  Mono is excluded: forcing adjacent-frame KFs there
-        # triangulates at near-zero baseline and corrupts the map.
-        weak = (not is_mono) and n_inliers < 50
-        c2 = n_inliers < self.ref_kf_matches * ref_ratio or need_close or weak
-        c_min = self.frames_since_kf >= (1 if is_mono else 2) or need_close or weak
-        return (c1 or (c2 and c_min)) and n_inliers > 15
+        mapping_idle = self._pending_ba is None
+        nref = max(self.ref_kf_matches, 15)
+        c1a = self.frames_since_kf >= cfg.max_frames_between_kf
+        c1b = self.frames_since_kf >= max(cfg.min_frames_between_kf, 1) and mapping_idle
+        c1c = (not is_mono) and (n_inliers < nref * 0.25 or need_close)
+        c2 = (n_inliers < nref * ref_ratio or need_close) and n_inliers > 15
+        return (c1a or c1b or c1c) and c2
 
-    def _create_keyframe(self, frame: Frame, assoc, timestamp):
+    def _create_keyframe(self, e: _PipeEntry, n_inliers: int = 0):
         cfg = self.cfg
-        fh = self._fh(frame)  # full frame mirror: fetched per-KF only
+        # ONE packed fetch: frame feature table + association + line
+        # matches + found/visible accumulators (track_step.pack_kf_event).
+        from .mirror import unpack_kf_event
+
+        Lcap = e.out.ln_match_idx.shape[0]
+        cap = e.out.found_acc.shape[0]
+        buf = np.asarray(pack_kf_event(e.frame, e.out))
+        fh, assoc, _inl, ln_idx, ln_mask, found, vis = unpack_kf_event(
+            buf, e.frame.n, Lcap, cap
+        )
+        # Landmark statistics (IncreaseFound / IncreaseVisible),
+        # accumulated on device since the last keyframe event.
+        sh = e.snap_host
+        if len(sh):
+            self.map.pt_found[sh] += found[: len(sh)]
+            self.map.pt_visible[sh] += vis[: len(sh)]
+        if self._carry is not None:
+            self._carry = (self._carry[0], zero_stats(self._carry[1]))
+
         self.flush_pending_ba()
+        # Drop associations invalidated by mapping since dispatch.
+        assoc[assoc >= 0] = np.where(
+            self.map.pt_valid[assoc[assoc >= 0]], assoc[assoc >= 0], -1
+        )
         kf = self.map.add_keyframe(
-            fh, self.R, self.t, self.frame_id, timestamp, lm_assoc=assoc,
+            fh, self.R, self.t, e.fid, e.ts, lm_assoc=assoc,
             parent=self.ref_kf,
         )
         # New landmarks from stereo depth for unassociated features
@@ -647,6 +781,7 @@ class Tracker:
         depth = fh.depth
         valid = fh.valid
         baseline = cfg.camera.baseline
+        assoc = self.map.kf_obs_lm[kf]
         candidates = np.nonzero(valid & (depth > 0) & (assoc < 0))[0]
         if len(candidates):
             order = candidates[np.argsort(depth[candidates])]
@@ -664,13 +799,14 @@ class Tracker:
         # Line landmarks: store this KF's line features; create 3D lines
         # from stereo endpoint depths for unmatched steep lines
         # (CreateNewMapLines analog).
-        if self.cfg.lines.enabled and self.cur_lines is not None:
-            lf = jax.device_get(self.cur_lines)  # one batched fetch
-            ln_assoc = (
-                self.cur_ln_assoc
-                if self.cur_ln_assoc is not None
-                else np.full(lf.n, -1, np.int32)
-            )
+        if self.cfg.lines.enabled and e.lines is not None:
+            lf = jax.device_get(e.lines)  # one batched fetch
+            ln_assoc = np.full(lf.n, -1, np.int32)
+            if e.ln_ids is not None and len(e.ln_ids):
+                rows = np.nonzero(ln_mask)[0]
+                rows = rows[rows < len(e.ln_ids)]
+                ln_assoc[ln_idx[rows]] = e.ln_ids[rows]
+            self.cur_ln_assoc = ln_assoc
             self.map.set_kf_lines(kf, lf, ln_assoc)
             new_ln = np.nonzero(
                 lf.valid & (lf.depth0 > 0) & (lf.depth1 > 0) & (ln_assoc < 0)
@@ -684,6 +820,7 @@ class Tracker:
                 ids = self.map.add_lines(
                     s_w, e_w, lf.desc[new_ln], kf, new_ln
                 )
+                self.recent_ln.append(ids)
 
         # Landmark stats for everything this KF observes.
         seen = self.map.kf_obs_lm[kf]
@@ -693,6 +830,8 @@ class Tracker:
         if len(self.recent_lm) > 3:
             old = self.recent_lm.pop(0)
             self.map.cull_points(kf, old)
+        if len(self.recent_ln) > 3:
+            self.map.cull_lines(kf, self.recent_ln.pop(0))
         # Multi-view triangulation of additional landmarks
         # (CreateNewMapPoints) — essential for mono, fills in far points
         # for stereo.
@@ -717,23 +856,43 @@ class Tracker:
             self.map.cull_keyframes([k for k in win if k != kf])
 
         self.ref_kf = kf
-        # Tracking quality at creation time (floor avoids KF starvation
-        # in sparse scenes).
-        self.ref_kf_matches = max(int((fh.valid & (assoc >= 0)).sum()), 40)
+        self._ref_frame_dev = e.frame
+        self._ref_frame_kf = kf
+        self.last_assoc = self.map.kf_obs_lm[kf].copy()
+        # Tracking quality at creation time = the triggering frame's
+        # inlier count (TrackedMapPoints analog; floor avoids KF
+        # starvation in sparse scenes).
+        self.ref_kf_matches = max(
+            n_inliers or int((fh.valid & (assoc >= 0)).sum()), 40
+        )
         if self.on_keyframe is not None:
+            R_before = self.map.kf_R[kf].copy()
+            t_before = self.map.kf_t[kf].copy()
             self.on_keyframe(kf)
             # A loop closure may have rewritten keyframe poses; ride
             # with the (possibly corrected) reference keyframe.
             self.R = self.map.kf_R[kf].copy()
             self.t = self.map.kf_t[kf].copy()
+            if (
+                np.abs(self.R - R_before).max() > 1e-5
+                or np.abs(self.t - t_before).max() > 1e-4
+            ):
+                # Large correction: in-flight frames track a stale
+                # world frame — re-anchor and drain (after this entry's
+                # bookkeeping completes, to keep trajectory order).
+                self.last_R, self.last_t = self.R.copy(), self.t.copy()
+                self.vel = None
+                self._carry = None
+                self.last_frame = e.frame
+                self._drain_required = True
         self.mark_map_dirty()
 
     def _local_ba(self, center_kf, defer: bool = False):
         """Local bundle adjustment.  With defer=True the device solve is
-        dispatched asynchronously and written back at the NEXT keyframe
-        (flush_pending_ba) — the tracking thread never blocks on mapping,
-        the property the reference gets from its LocalMapping pthread
-        (SURVEY.md §7.2 hard-part #4)."""
+        dispatched asynchronously and written back by poll_pending_ba
+        when it completes (or at the next keyframe at the latest) — the
+        tracking loop never blocks on mapping, the property the
+        reference gets from its LocalMapping pthread (SURVEY §7.2 #4)."""
         mc = self.cfg.map
         pack = self.map.pack_local_ba(
             center_kf,
@@ -812,7 +971,7 @@ class Tracker:
 
     def flush_pending_ba(self):
         """Apply a deferred BA result (no-op if none pending)."""
-        pending = getattr(self, "_pending_ba", None)
+        pending = self._pending_ba
         if pending is None:
             return
         pack, lpack, res, center_kf = pending
@@ -822,7 +981,7 @@ class Tracker:
     def poll_pending_ba(self):
         """Apply the deferred BA result iff the device solve finished
         (jax.Array.is_ready — no blocking)."""
-        pending = getattr(self, "_pending_ba", None)
+        pending = self._pending_ba
         if pending is None:
             return
         try:

@@ -18,12 +18,13 @@ from ..config import MapConfig
 from .map_store import MapStore
 
 _ARRAYS = [
-    "kf_valid", "kf_R", "kf_t", "kf_frame_id", "kf_timestamp",
+    "kf_valid", "kf_R", "kf_t", "kf_frame_id", "kf_timestamp", "kf_parent",
     "kf_xy", "kf_ur", "kf_depth", "kf_oct", "kf_angle", "kf_desc",
     "kf_feat_valid", "kf_obs_lm",
     "pt_valid", "pt_pos", "pt_desc", "pt_normal", "pt_min_dist",
     "pt_max_dist", "pt_oct", "pt_first_kf", "pt_visible", "pt_found",
     "ln_valid", "ln_start", "ln_end", "ln_desc", "ln_first_kf",
+    "ln_visible", "ln_found",
 ]
 _LINE_ARRAYS = ["kf_ln_p0", "kf_ln_p1", "kf_ln_desc", "kf_ln_valid", "kf_ln_obs"]
 
@@ -35,6 +36,7 @@ def save_map(store: MapStore, path: str | Path) -> None:
     data["_next_kf"] = np.asarray(store._next_kf)
     data["_free_pts"] = np.asarray(store._free_pts, np.int64)
     data["_free_lines"] = np.asarray(store._free_lines, np.int64)
+    data["_free_kfs"] = np.asarray(store._free_kfs, np.int64)
     data["_caps"] = np.asarray(
         [store.K, store.P, store.F, store.L, store.Lf], np.int64
     )
@@ -54,4 +56,8 @@ def load_map(path: str | Path) -> MapStore:
     store._next_kf = int(z["_next_kf"])
     store._free_pts = [int(i) for i in z["_free_pts"]]
     store._free_lines = [int(i) for i in z["_free_lines"]]
+    if "_free_kfs" in z.files:
+        store._free_kfs = [int(i) for i in z["_free_kfs"]]
+    store.mark_all_pts_dirty()
+    store.touch_obs()
     return store

@@ -78,6 +78,10 @@ class MapStore:
         self._covis_cache = (-1, None)
         self._counts_cache = (-1, None)
 
+        # landmark rows mutated since the last device-mirror refresh
+        self._dirty_pts = np.zeros(P, bool)
+        self._all_dirty = True
+
         # --- 3D line segments (MapLine analog, SURVEY.md §2.1 row 8) ---
         L = cfg.max_lines
         self.L = L
@@ -104,6 +108,23 @@ class MapStore:
         """Invalidate derived caches after any kf_obs_lm/kf_valid edit.
         External writers (tracking/fuse/triangulation) MUST call this."""
         self._obs_epoch += 1
+
+    def mark_pts_dirty(self, ids):
+        """Record landmark rows whose mirror fields changed (pos, desc,
+        normal, scale range, validity)."""
+        self._dirty_pts[np.asarray(ids, np.int64)] = True
+
+    def mark_all_pts_dirty(self):
+        """Bulk rewrite (loop correction, GBA): force a full refresh."""
+        self._all_dirty = True
+
+    def pop_dirty_pts(self):
+        """(all_dirty, ids) — and reset the dirty set."""
+        all_dirty = self._all_dirty
+        ids = np.nonzero(self._dirty_pts)[0]
+        self._dirty_pts[:] = False
+        self._all_dirty = False
+        return all_dirty, ids
 
     def _valid_kf_rows(self):
         return np.nonzero(self.kf_valid[: self._next_kf])[0]
@@ -175,6 +196,13 @@ class MapStore:
             assoc[~self.kf_feat_valid[k]] = -1
             # Drop associations to dead landmarks.
             assoc[(assoc >= 0) & ~self.pt_valid[np.clip(assoc, 0, self.P - 1)]] = -1
+            # A landmark may observe through ONE feature slot only
+            # (duplicates arise when both stage-1 paths bound it).
+            pos = assoc >= 0
+            _, first = np.unique(assoc[pos], return_index=True)
+            keep = np.zeros(pos.sum(), bool)
+            keep[first] = True
+            assoc[np.nonzero(pos)[0][~keep]] = -1
             self.kf_obs_lm[k] = assoc
         else:
             self.kf_obs_lm[k] = -1
@@ -336,6 +364,7 @@ class MapStore:
         # so the expected octave at the creation distance is ~1, not 0.
         self.pt_max_dist[ids] = dist * (1.2 ** oc) * 1.2
         self.pt_min_dist[ids] = self.pt_max_dist[ids] / (1.2 ** 8)
+        self.mark_pts_dirty(ids)
         return ids
 
     def erase_point(self, ids):
@@ -344,6 +373,7 @@ class MapStore:
         if len(live) == 0:
             return
         self.pt_valid[live] = False
+        self.mark_pts_dirty(live)
         dead = np.zeros(self.P + 1, bool)
         dead[live] = True
         rows = self._valid_kf_rows()
@@ -395,6 +425,7 @@ class MapStore:
         np.add.at(self.pt_found, remap[src_ids], self.pt_found[src_ids])
         np.add.at(self.pt_visible, remap[src_ids], self.pt_visible[src_ids])
         self.pt_valid[src_ids] = False
+        self.mark_pts_dirty(src_ids)
         self.touch_obs()
         self._free_pts.extend(int(i) for i in np.unique(src_ids))
 
@@ -521,6 +552,7 @@ class MapStore:
         # --- distinctive descriptor ---
         descs = self.kf_desc[kk, ff]
         _scatter_distinctive(self.pt_desc, lm_ids, g, descs, n)
+        self.mark_pts_dirty(lm_ids)
 
     # ------------------------------------------------------------------
     # culling
@@ -778,6 +810,7 @@ class MapStore:
         lm_ids = pack["lm_ids"]
         new_pts = np.asarray(result.points)[: len(lm_ids)]
         self.pt_pos[lm_ids] = new_pts
+        self.mark_pts_dirty(lm_ids)
         inl = np.asarray(result.obs_inlier)
         n_obs = pack["n_obs"]
         bad = np.nonzero(~inl[:n_obs] & pack["obs_valid"][:n_obs])[0]
