@@ -33,6 +33,7 @@ synchronously — rare by construction.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Optional
 
 import jax
@@ -68,6 +69,35 @@ class TrajectoryEntry:
     R_rel: np.ndarray  # T_cam<-refKF
     t_rel: np.ndarray
     lost: bool
+
+
+@jax.jit
+def _flatten_result(res):
+    """Pack any result pytree into ONE float32 buffer so the host pays
+    a single tunnel round-trip to fetch it (bool leaves ride as 0/1)."""
+    leaves = jax.tree_util.tree_leaves(res)
+    return jnp.concatenate([jnp.asarray(l, jnp.float32).ravel() for l in leaves])
+
+
+def _pack_for_fetch(res):
+    leaves, treedef = jax.tree_util.tree_flatten(res)
+    shapes = [(tuple(l.shape), np.dtype(l.dtype)) for l in leaves]
+    return _flatten_result(res), treedef, shapes
+
+
+def _unpack_fetched(buf, treedef, shapes):
+    out = []
+    o = 0
+    for shape, dt in shapes:
+        n = int(np.prod(shape)) if shape else 1
+        v = buf[o:o + n].reshape(shape)
+        o += n
+        if dt == np.bool_:
+            v = v > 0.5
+        elif np.issubdtype(dt, np.integer):
+            v = np.round(v).astype(dt)
+        out.append(v)
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 @dataclasses.dataclass
@@ -136,6 +166,13 @@ class Tracker:
         # Pipeline state.
         self._q: list[_PipeEntry] = []
         self._carry = None               # (frame, TrackOut) device carries
+        # Mapping-job pipeline (the LocalMapping lag): per-KF device
+        # programs (triangulation + fuse) dispatched at keyframe events,
+        # applied by a non-blocking poll when they complete; local BA is
+        # dispatched right after their application.
+        self._map_jobs = None            # (kf, tri_job, fuse_job)
+        self._kf_frames: dict[int, Frame] = {}   # device per-KF frames
+        self._kf_frames_max = 32
 
     # ------------------------------------------------------------------
     # public per-frame entry points
@@ -175,9 +212,12 @@ class Tracker:
         return self._track(frame, timestamp)
 
     def flush(self):
-        """Drain the pipeline (consume every in-flight frame)."""
+        """Drain the pipeline: consume every in-flight frame and join
+        the mapping-job / local-BA chain."""
         while self._q:
             self._consume()
+        self.poll_map_jobs(force=True)
+        self.flush_pending_ba()
 
     # ------------------------------------------------------------------
     def _try_mono_initialize(self, frame: Frame, timestamp):
@@ -254,6 +294,8 @@ class Tracker:
             self.on_keyframe(kf1)
         self._ref_frame_dev = frame
         self._ref_frame_kf = kf1
+        self._kf_frames[kf0] = ref
+        self._kf_frames[kf1] = frame
         self._carry = None
         self.mark_map_dirty()
 
@@ -271,8 +313,9 @@ class Tracker:
     # ------------------------------------------------------------------
     def _track(self, frame: Frame, timestamp: float):
         self.cur_frame = frame
-        # Apply a deferred local-BA result the moment the device solve
-        # lands (non-blocking poll).
+        # Non-blocking polls: apply finished mapping jobs (triangulation
+        # + fuse, then dispatch local BA) and a finished local BA.
+        self.poll_map_jobs()
         self.poll_pending_ba()
 
         if self.state == "NOT_INITIALIZED":
@@ -458,8 +501,11 @@ class Tracker:
         snap_ids[: len(lm)] = lm
 
         # --- point table: packed delta or full upload ---
+        # (local BA dirties up to local_points=8192 rows per apply; the
+        # delta path stays ~6x cheaper than a full table upload until
+        # a third of the table changed)
         all_dirty, dirty = m.pop_dirty_pts()
-        if self._mir is None or all_dirty or len(dirty) > m.P // 8:
+        if self._mir is None or all_dirty or len(dirty) > m.P // 3:
             pt = mirror_from_flat(jnp.asarray(pack_full(m)))
         elif len(dirty):
             pt = mirror_apply(self._mir["pt"], jnp.asarray(pack_delta(m, dirty)))
@@ -558,6 +604,7 @@ class Tracker:
             e.R_rel, e.t_rel = nse3_compose(e.R_rel, e.t_rel, Rkp, tkp)
             e.ref_kf = parent
             self._traj_by_kf.setdefault(parent, []).append(e)
+        self._kf_frames.pop(k, None)
         if self.ref_kf == k:
             self.ref_kf = parent
 
@@ -603,6 +650,7 @@ class Tracker:
         self.frames_since_kf = 0
         self._ref_frame_dev = frame
         self._ref_frame_kf = kf
+        self._kf_frames[kf] = frame
         self._carry = None
         self.mark_map_dirty()
 
@@ -767,6 +815,10 @@ class Tracker:
         if self._carry is not None:
             self._carry = (self._carry[0], zero_stats(self._carry[1]))
 
+        # Join the previous keyframe's mapping chain before mutating the
+        # map for this one (jobs were dispatched frames ago — normally
+        # long finished).
+        self.poll_map_jobs(force=True)
         self.flush_pending_ba()
         # Drop associations invalidated by mapping since dispatch.
         assoc[assoc >= 0] = np.where(
@@ -826,31 +878,39 @@ class Tracker:
         seen = self.map.kf_obs_lm[kf]
         self.map.update_point_stats(seen[seen >= 0])
 
-        # --- inline local mapping step ---
+        # --- local mapping step (async device jobs + host culling) ---
+        self._kf_frames[kf] = e.frame
+        while len(self._kf_frames) > self._kf_frames_max:
+            self._kf_frames.pop(next(iter(self._kf_frames)))
         if len(self.recent_lm) > 3:
             old = self.recent_lm.pop(0)
             self.map.cull_points(kf, old)
         if len(self.recent_ln) > 3:
             self.map.cull_lines(kf, self.recent_ln.pop(0))
-        # Multi-view triangulation of additional landmarks
-        # (CreateNewMapPoints) — essential for mono, fills in far points
-        # for stereo.
+        # Multi-view triangulation (CreateNewMapPoints) + cross-KF
+        # duplicate fusion (SearchInNeighbors): ONE batched device
+        # program each, dispatched now, applied by poll_map_jobs when
+        # the device finishes (the reference's LocalMapping lag).
         if self.map.n_keyframes() >= 2:
-            from ..slam_map.triangulation import create_new_map_points
+            from ..slam_map.fuse import dispatch_fuse
+            from ..slam_map.triangulation import dispatch_triangulation
 
-            tri_ids = create_new_map_points(
-                self.map, kf, cfg.camera, cfg.orb.scale_factor
+            ids, _ = self.map.covisible_keyframes(kf, min_weight=10, max_n=5)
+            tri_job = dispatch_triangulation(
+                self.map, kf, ids, cfg.camera, cfg.orb.scale_factor,
+                kf_frames=self._kf_frames,
             )
-            if len(tri_ids):
-                self.recent_lm.append(tri_ids)
-            # Cross-KF duplicate fusion (SearchInNeighbors).
-            from ..slam_map.fuse import search_in_neighbors
-
-            search_in_neighbors(
-                self.map, kf, cfg.camera, cfg.orb.level_scales
+            fuse_job = dispatch_fuse(
+                self.map, kf, ids, cfg.camera, cfg.orb.level_scales,
+                kf_frames=self._kf_frames,
             )
+            self._map_jobs = (kf, tri_job, fuse_job)
+            self._map_jobs_t = time.monotonic()
+            if not self.async_mapping:
+                self.poll_map_jobs(force=True)
         if self.map.n_keyframes() >= 3:
-            self._local_ba(kf, defer=self.async_mapping)
+            if not self.async_mapping and self._pending_ba is not None:
+                self.flush_pending_ba()
             # Redundant-keyframe culling over the local window.
             win, _ = self.map.covisible_keyframes(kf, min_weight=1, max_n=8)
             self.map.cull_keyframes([k for k in win if k != kf])
@@ -951,12 +1011,22 @@ class Tracker:
                 jnp.asarray(pack["obs_valid"]), self.cfg.camera,
                 self.cfg.orb.scale_factor,
             )
+        # ONE packed device buffer for the whole result: fetching the
+        # raw NamedTuple costs one ~22 ms tunnel round-trip per leaf.
+        fetch = _pack_for_fetch(res)
         if defer:
-            self._pending_ba = (pack, lpack, res, center_kf)
+            self._pending_ba = (pack, lpack, fetch, center_kf)
+            self._pending_ba_t = time.monotonic()
+            try:
+                fetch[0].copy_to_host_async()
+            except AttributeError:
+                pass
             return
-        self._apply_ba(pack, lpack, res, center_kf, ride=True)
+        self._apply_ba(pack, lpack, fetch, center_kf, ride=True)
 
-    def _apply_ba(self, pack, lpack, res, center_kf, ride=False):
+    def _apply_ba(self, pack, lpack, fetch, center_kf, ride=False):
+        packed, treedef, shapes = fetch
+        res = _unpack_fetched(np.asarray(packed), treedef, shapes)
         self.map.apply_ba_result(pack, res)
         if lpack is not None:
             self.map.apply_line_ba_result(
@@ -974,19 +1044,64 @@ class Tracker:
         pending = self._pending_ba
         if pending is None:
             return
-        pack, lpack, res, center_kf = pending
+        pack, lpack, fetch, center_kf = pending
         self._pending_ba = None
-        self._apply_ba(pack, lpack, res, center_kf, ride=False)
+        self._apply_ba(pack, lpack, fetch, center_kf, ride=False)
 
     def poll_pending_ba(self):
-        """Apply the deferred BA result iff the device solve finished
-        (jax.Array.is_ready — no blocking)."""
+        """Apply the deferred BA result iff the device solve finished.
+        is_ready() is an RPC through the tunnel (~20 ms measured), so
+        polls are throttled: not before the solve plausibly finished,
+        and at most every ~100 ms after."""
         pending = self._pending_ba
         if pending is None:
             return
+        now = time.monotonic()
+        if now - self._pending_ba_t < 0.1 or now < getattr(self, "_ba_next_poll", 0.0):
+            return
         try:
-            ready = pending[2].R.is_ready()
+            ready = pending[2][0].is_ready()
         except AttributeError:
             ready = True
         if ready:
             self.flush_pending_ba()
+        else:
+            self._ba_next_poll = now + 0.1
+
+    def poll_map_jobs(self, force: bool = False):
+        """Apply the pending per-keyframe mapping jobs (triangulation +
+        fuse) once their device programs finish, then dispatch the local
+        BA for that keyframe.  Non-blocking unless force=True; readiness
+        polls are time-throttled (is_ready is a ~20 ms tunnel RPC)."""
+        if self._map_jobs is None:
+            return
+        kf, tri_job, fuse_job = self._map_jobs
+        if not force:
+            now = time.monotonic()
+            if (
+                now - getattr(self, "_map_jobs_t", 0.0) < 0.05
+                or now < getattr(self, "_jobs_next_poll", 0.0)
+            ):
+                return
+            for job in (tri_job, fuse_job):
+                if job is None:
+                    continue
+                try:
+                    if not job["packed"].is_ready():
+                        self._jobs_next_poll = now + 0.1
+                        return
+                except AttributeError:
+                    pass
+        self._map_jobs = None
+        from ..slam_map.fuse import apply_fuse
+        from ..slam_map.triangulation import apply_triangulation
+
+        if not self.map.kf_valid[kf]:
+            return
+        tri_ids = apply_triangulation(self.map, tri_job)
+        if len(tri_ids):
+            self.recent_lm.append(tri_ids)
+        apply_fuse(self.map, fuse_job)
+        if self.map.n_keyframes() >= 3 and not self.localization_only:
+            self._local_ba(kf, defer=self.async_mapping)
+        self.mark_map_dirty()

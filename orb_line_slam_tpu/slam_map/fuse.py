@@ -11,6 +11,9 @@ landmarks that drift creates at revisits.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,22 +103,185 @@ def fuse_into_keyframe(store, lm_ids: np.ndarray, k: int, cam, level_scales,
     return int(len(lm))
 
 
-def search_in_neighbors(store, kf: int, cam, level_scales, n_neighbors: int = 5):
-    """Bidirectional fuse between a fresh keyframe and its covisible
-    neighbours. Returns total fused count."""
-    ids, _ = store.covisible_keyframes(kf, min_weight=10, max_n=n_neighbors)
+def _apply_matches(store, k: int, lm_ids, mask, idx) -> int:
+    """Apply projection-search matches into keyframe k: bind free slots,
+    batch-merge duplicates into the better-observed landmark."""
+    rows = np.nonzero(mask)[0]
+    if len(rows) == 0:
+        return 0
+    counts = store.obs_counts()
+    lm = lm_ids[rows].astype(np.int64)
+    feat = idx[rows].astype(np.int64)
+    live = store.pt_valid[lm] & store.kf_valid[k]
+    lm, feat = lm[live], feat[live]
+    existing = store.kf_obs_lm[k, feat].astype(np.int64)
+    changed = existing != lm
+    lm, feat, existing = lm[changed], feat[changed], existing[changed]
+    if len(lm) == 0:
+        return 0
+    is_dup = (existing >= 0) & store.pt_valid[np.clip(existing, 0, None)]
+    free = ~is_dup
+    if free.any():
+        store.kf_obs_lm[k, feat[free]] = lm[free].astype(np.int32)
+    if is_dup.any():
+        a, b = lm[is_dup], existing[is_dup]
+        keep_existing = counts[b] >= counts[a]
+        src = np.where(keep_existing, a, b)
+        dst = np.where(keep_existing, b, a)
+        # Rebind the slot first so replace_points' remap settles it.
+        store.kf_obs_lm[k, feat[is_dup]] = src.astype(np.int32)
+        store.replace_points(src, dst)
+    store.touch_obs()
+    return int(len(lm))
+
+
+FUSE_OWN_CAP = 2048
+FUSE_POOL_CAP = 8192
+FUSE_NN = 5
+
+
+def _pad_ids(ids, cap):
+    out = np.zeros(cap, np.int64)
+    n = min(len(ids), cap)
+    out[:n] = ids[:n]
+    valid = np.zeros(cap, bool)
+    valid[:n] = True
+    return out, valid
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "level_scales"))
+def _fuse_program(
+    own_pos, own_desc, own_oct, own_valid, own_maxd, own_mind, own_normal,
+    pool_pos, pool_desc, pool_oct, pool_valid, pool_maxd, pool_mind,
+    pool_normal,
+    nb_frames, nb_R, nb_t, nb_valid,
+    kf_frame, kf_R, kf_t,
+    cam, level_scales,
+):
+    """Forward (own landmarks → each neighbor) and reverse (pooled
+    neighbor landmarks → the new keyframe) projection searches as ONE
+    program; single packed int32 fetch."""
+
+    def fwd(frame, R, t, pv):
+        m = search_by_projection(
+            own_pos, own_desc, own_valid & pv, own_oct, R, t, frame,
+            cam, level_scales, radius=3.0, max_dist=50, ratio=1.0,
+            check_ur=True, max_dist_p=own_maxd, min_dist_p=own_mind,
+            normal_p=own_normal, oct_tol=2,
+        )
+        m = resolve_duplicates(m, own_pos.shape[0])
+        return m.idx, m.mask
+
+    fwd_idx, fwd_mask = jax.vmap(fwd, in_axes=(0, 0, 0, 0))(
+        nb_frames, nb_R, nb_t, nb_valid
+    )
+    mr = search_by_projection(
+        pool_pos, pool_desc, pool_valid, pool_oct, kf_R, kf_t, kf_frame,
+        cam, level_scales, radius=3.0, max_dist=50, ratio=1.0,
+        check_ur=True, max_dist_p=pool_maxd, min_dist_p=pool_mind,
+        normal_p=pool_normal, oct_tol=2,
+    )
+    mr = resolve_duplicates(mr, pool_pos.shape[0])
+    packed = jnp.concatenate([
+        jnp.where(fwd_mask, fwd_idx, -1).reshape(-1),
+        jnp.where(mr.mask, mr.idx, -1),
+    ]).astype(jnp.int32)
+    return packed
+
+
+def _kf_view_dev(store, k, kf_frames):
+    """Device Frame for keyframe k: the cached per-KF device frame when
+    available (zero upload), else uploaded from the host store."""
+    if kf_frames is not None and k in kf_frames:
+        return kf_frames[k]
+    return _kf_view(store, k)
+
+
+def dispatch_fuse(store, kf: int, neighbor_ids, cam, level_scales,
+                  kf_frames=None):
+    """Dispatch the bidirectional fuse searches (no fetch). Returns a
+    job for apply_fuse, or None."""
+    import jax.tree_util as jtu
+
+    neighbor_ids = [int(k) for k in neighbor_ids][:FUSE_NN]
+    if not neighbor_ids:
+        return None
     own = store.kf_obs_lm[kf]
     own = np.unique(own[own >= 0])
+    own = own[store.pt_valid[own]]
+    nb_obs = store.kf_obs_lm[neighbor_ids]
+    pooled = np.unique(nb_obs[nb_obs >= 0])
+    pooled = pooled[store.pt_valid[pooled]]
+    if len(own) == 0 and len(pooled) == 0:
+        return None
+    own_p, own_v = _pad_ids(own, FUSE_OWN_CAP)
+    pool_p, pool_v = _pad_ids(pooled, FUSE_POOL_CAP)
+
+    frames = [_kf_view_dev(store, k2, kf_frames) for k2 in neighbor_ids]
+    while len(frames) < FUSE_NN:
+        frames.append(frames[-1])
+    nb_frames = jtu.tree_map(lambda *xs: jnp.stack(xs), *frames)
+    nb_R = np.tile(np.eye(3, dtype=np.float32), (FUSE_NN, 1, 1))
+    nb_t = np.zeros((FUSE_NN, 3), np.float32)
+    nb_valid = np.zeros(FUSE_NN, bool)
+    for i, k2 in enumerate(neighbor_ids):
+        nb_R[i] = store.kf_R[k2]
+        nb_t[i] = store.kf_t[k2]
+        nb_valid[i] = True
+
+    packed = _fuse_program(
+        jnp.asarray(store.pt_pos[own_p]), jnp.asarray(store.pt_desc[own_p]),
+        jnp.asarray(store.pt_oct[own_p]), jnp.asarray(own_v),
+        jnp.asarray(store.pt_max_dist[own_p]),
+        jnp.asarray(store.pt_min_dist[own_p]),
+        jnp.asarray(store.pt_normal[own_p]),
+        jnp.asarray(store.pt_pos[pool_p]), jnp.asarray(store.pt_desc[pool_p]),
+        jnp.asarray(store.pt_oct[pool_p]), jnp.asarray(pool_v),
+        jnp.asarray(store.pt_max_dist[pool_p]),
+        jnp.asarray(store.pt_min_dist[pool_p]),
+        jnp.asarray(store.pt_normal[pool_p]),
+        nb_frames, jnp.asarray(nb_R), jnp.asarray(nb_t),
+        jnp.asarray(nb_valid),
+        _kf_view_dev(store, kf, kf_frames),
+        jnp.asarray(store.kf_R[kf]), jnp.asarray(store.kf_t[kf]),
+        cam, tuple(level_scales),
+    )
+    return {
+        "kf": kf, "neighbors": neighbor_ids, "own": own_p, "n_own": len(own),
+        "pool": pool_p, "n_pool": len(pooled), "packed": packed,
+    }
+
+
+def apply_fuse(store, job) -> int:
+    """Fetch + apply a dispatched fuse job."""
+    if job is None:
+        return 0
+    buf = np.asarray(job["packed"])
+    Nn, OC, PC = FUSE_NN, FUSE_OWN_CAP, FUSE_POOL_CAP
+    fwd = buf[: Nn * OC].reshape(Nn, OC)
+    rev = buf[Nn * OC :]
     total = 0
-    neigh_lms = []
-    for k2 in ids:
-        total += fuse_into_keyframe(store, own, int(k2), cam, level_scales)
-        lm2 = store.kf_obs_lm[k2]
-        neigh_lms.append(lm2[lm2 >= 0])
-    if neigh_lms:
-        pooled = np.unique(np.concatenate(neigh_lms))
-        total += fuse_into_keyframe(store, pooled, kf, cam, level_scales)
-    if total:
-        own = store.kf_obs_lm[kf]
-        store.update_point_stats(np.unique(own[own >= 0]))
+    own = job["own"][: job["n_own"]]
+    for i, k2 in enumerate(job["neighbors"]):
+        if not store.kf_valid[k2]:
+            continue
+        idx = fwd[i, : job["n_own"]]
+        total += _apply_matches(store, k2, own, idx >= 0, idx)
+    kf = job["kf"]
+    if store.kf_valid[kf]:
+        pool = job["pool"][: job["n_pool"]]
+        idx = rev[: job["n_pool"]]
+        total += _apply_matches(store, kf, pool, idx >= 0, idx)
+        if total:
+            own2 = store.kf_obs_lm[kf]
+            store.update_point_stats(np.unique(own2[own2 >= 0]))
     return total
+
+
+def search_in_neighbors(store, kf: int, cam, level_scales, n_neighbors: int = 5,
+                        kf_frames=None):
+    """Bidirectional fuse between a fresh keyframe and its covisible
+    neighbours (synchronous dispatch + apply). Returns fused count."""
+    ids, _ = store.covisible_keyframes(kf, min_weight=10, max_n=n_neighbors)
+    job = dispatch_fuse(store, kf, ids, cam, level_scales, kf_frames=kf_frames)
+    return apply_fuse(store, job)
