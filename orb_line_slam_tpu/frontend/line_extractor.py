@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from ..config import LineConfig
 from ..geometry.camera import CameraIntrinsics
 from ..ops.hamming import hamming_matrix, knn2
+from ..ops.image import bilinear_sample
 from ..ops.lbd import lbd_descriptors
 from ..ops.lines import DetectedLines, detect_lines, merge_collinear
 
@@ -63,16 +64,23 @@ def build_line_features(
 ) -> LineFeatures:
     """Detect + describe lines in the left image; endpoint depths from a
     matched right-image segment (rectified pair)."""
-    imgL = img_left.astype(jnp.float32)
-    imgR = img_right.astype(jnp.float32)
+    # Batch the stereo pair through detection + description (one [2,H,W]
+    # program — halves the kernel count vs per-image passes, same trick
+    # as the point front-end's joint L/R extraction).
+    imgs = jnp.stack([img_left, img_right]).astype(jnp.float32)
     from ..ops.image import sobel_gradients
 
-    gradsL = sobel_gradients(imgL)
-    gradsR = sobel_gradients(imgR)
-    ll = merge_collinear(detect_lines(imgL, n_lines=cfg.n_lines, grads=gradsL))
-    lr = merge_collinear(detect_lines(imgR, n_lines=cfg.n_lines, grads=gradsR))
-    descL = lbd_descriptors(imgL, ll.p0, ll.p1, ll.valid, grads=gradsL)
-    descR = lbd_descriptors(imgR, lr.p0, lr.p1, lr.valid, grads=gradsR)
+    gxs, gys = sobel_gradients(imgs)
+    det = jax.vmap(
+        lambda im, gx, gy: detect_lines(im, n_lines=cfg.n_lines, grads=(gx, gy))
+    )(imgs, gxs, gys)
+    det = jax.vmap(merge_collinear)(det)
+    descs = jax.vmap(
+        lambda im, p0, p1, v, gx, gy: lbd_descriptors(im, p0, p1, v, grads=(gx, gy))
+    )(imgs, det.p0, det.p1, det.valid, gxs, gys)
+    ll = jax.tree_util.tree_map(lambda a: a[0], det)
+    lr = jax.tree_util.tree_map(lambda a: a[1], det)
+    descL, descR = descs[0], descs[1]
 
     # --- stereo association: Hamming + angle + vertical overlap ---
     dist = hamming_matrix(descL, descR)
@@ -98,11 +106,50 @@ def build_line_features(
     rd = rp1 - rp0
     steep = jnp.abs(rd[:, 0]) < 2.0 * jnp.abs(rd[:, 1])
 
+    def sad_refine(pe, disp0):
+        """Sub-pixel disparity at one endpoint row by 1D SAD against the
+        right image (the point path's ComputeStereoMatches refinement,
+        src/Frame.cc): the segment-intersection estimate inherits both
+        detections' lateral noise (~0.5 px), while intensity correlation
+        around the initial estimate is anchored to the actual stroke."""
+        dx = jnp.arange(-4.0, 5.0)                                   # [9]
+        cand = jnp.arange(-4.0, 4.5, 0.5)                            # [17]
+        rowL = jnp.stack(
+            [pe[:, 0:1] + dx[None, :], jnp.broadcast_to(pe[:, 1:2], (pe.shape[0], 9))],
+            axis=-1,
+        )                                                            # [L,9,2]
+        patchL = bilinear_sample(imgs[0], rowL)                      # [L,9]
+        xr0 = pe[:, 0] - disp0
+        xs = xr0[:, None, None] + cand[None, :, None] + dx[None, None, :]
+        ysr = jnp.broadcast_to(pe[:, 1][:, None, None], xs.shape)
+        patchR = bilinear_sample(imgs[1], jnp.stack([xs, ysr], -1))  # [L,7,9]
+        sad = jnp.sum(jnp.abs(patchR - patchL[:, None, :]), axis=-1)  # [L,7]
+        best = jnp.argmin(sad, axis=1)
+        bc = jnp.clip(best, 1, cand.shape[0] - 2)
+        sm = jnp.take_along_axis(sad, (bc - 1)[:, None], 1)[:, 0]
+        s0 = jnp.take_along_axis(sad, bc[:, None], 1)[:, 0]
+        sp = jnp.take_along_axis(sad, (bc + 1)[:, None], 1)[:, 0]
+        denom = sm + sp - 2.0 * s0
+        frac = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (sm - sp) / jnp.maximum(denom, 1e-6), 0.0)
+        frac = jnp.clip(frac, -0.5, 0.5)
+        off = (cand[bc] + frac * 0.5)
+        # A minimum pinned to the search boundary means the true
+        # correlation peak is out of range (occlusion / bad detection).
+        interior = (best > 0) & (best < cand.shape[0] - 1)
+        return disp0 - off, interior
+
     def endpoint_depth(pe):
         xr, inside = _row_intersect(rp0, rp1, pe[:, 1])
         disp = pe[:, 0] - xr
         ok = matched & steep & inside & (disp > 0.3) & (disp < max_disp)
-        return jnp.where(ok, cam.bf / jnp.maximum(disp, 0.3), -1.0)
+        disp_r, interior = sad_refine(pe, disp)
+        # Occlusion/ambiguity gate: the intensity-anchored estimate must
+        # have an interior correlation minimum — boundary-pinned minima
+        # mean the two estimates disagree beyond the search range, the
+        # signature of an endpoint on an occluding contour.  Feeding
+        # such wrong-depth line landmarks to BA costs real ATE.
+        ok = ok & interior & (disp_r > 0.3) & (disp_r < max_disp)
+        return jnp.where(ok, cam.bf / jnp.maximum(disp_r, 0.3), -1.0)
 
     depth0 = endpoint_depth(ll.p0)
     depth1 = endpoint_depth(ll.p1)

@@ -12,6 +12,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
@@ -20,26 +21,49 @@ def gaussian_kernel1d(sigma: float, radius: int) -> jnp.ndarray:
     return k / jnp.sum(k)
 
 
+def _gaussian_taps(sigma: float, radius: int) -> tuple[float, ...]:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return tuple((k / k.sum()).astype(np.float32).tolist())
+
+
+@functools.lru_cache(maxsize=256)
+def _banded(n: int, taps: tuple) -> np.ndarray:
+    """[n, n] banded filter matrix; out-of-range taps drop (zero-pad
+    borders, matching lax.conv with zero padding)."""
+    r = (len(taps) - 1) // 2
+    M = np.zeros((n, n), np.float32)
+    idx = np.arange(n)
+    for i, kv in enumerate(taps):
+        src = idx - (i - r)
+        m = (src >= 0) & (src < n)
+        M[idx[m], src[m]] += kv
+    return M
+
+
+def separable_filter(img: jnp.ndarray, taps_y: tuple, taps_x: tuple) -> jnp.ndarray:
+    """Separable FIR filter of [..., H, W] as two banded matmuls.
+
+    TPU note: a [1,1,H,W] single-channel lax.conv lowers catastrophically
+    on this chip (~8-18 ms per 376x1241 conv measured through XLA — the
+    MXU sees channel depth 1); the same filter as [H,H] @ img @ [W,W]^T
+    banded matmuls runs in the hundreds of microseconds and fuses into
+    surrounding programs.  f32 HIGHEST matmul keeps error ~1e-4 at pixel
+    magnitude (the BRIEF-bit requirement), and is no slower than bf16 at
+    these sizes."""
+    h, w = img.shape[-2], img.shape[-1]
+    My = jnp.asarray(_banded(h, taps_y))
+    Mx = jnp.asarray(_banded(w, taps_x))
+    hp = jax.lax.Precision.HIGHEST
+    x = jnp.matmul(My, img, precision=hp)
+    return jnp.matmul(x, Mx.T, precision=hp)
+
+
 def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.ndarray:
-    """Separable Gaussian blur of a 2D float image (ORBextractor uses
-    7x7 sigma=2 before describing — same defaults here)."""
-    k = gaussian_kernel1d(sigma, radius)
-    x = img[None, None, :, :]
-    kh = k.reshape(1, 1, 1, -1)
-    kv = k.reshape(1, 1, -1, 1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    # HIGHEST precision: TPU's default bf16 conv loses ~0.25 at pixel
-    # magnitude, which flips borderline BRIEF bits downstream (the bits
-    # compare pairs of blurred pixels).
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    x = jax.lax.conv_general_dilated(
-        x, kv, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return x[0, 0]
+    """Separable Gaussian blur of a [..., H, W] float image (ORBextractor
+    uses 7x7 sigma=2 before describing — same defaults here)."""
+    taps = _gaussian_taps(sigma, radius)
+    return separable_filter(img, taps, taps)
 
 
 def resize_bilinear(img: jnp.ndarray, new_hw: tuple[int, int]) -> jnp.ndarray:
@@ -66,31 +90,32 @@ def build_pyramid(img: jnp.ndarray, n_levels: int, scale: float) -> list[jnp.nda
 
 
 def sobel_gradients(img: jnp.ndarray):
-    """Sobel dx, dy of a 2D float image (line detection / LBD front-end)."""
-    kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=jnp.float32)
-    ky = kx.T
-    x = img[None, None]
-    dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, 3, 3), ("NCHW", "OIHW", "NCHW"))
-    gx = jax.lax.conv_general_dilated(
-        x, kx[None, None], (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
-        precision=jax.lax.Precision.HIGHEST,
-    )[0, 0]
-    gy = jax.lax.conv_general_dilated(
-        x, ky[None, None], (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn,
-        precision=jax.lax.Precision.HIGHEST,
-    )[0, 0]
+    """Sobel dx, dy of a [..., H, W] float image (line detection / LBD
+    front-end), as banded matmuls — see separable_filter."""
+    smooth = (1.0, 2.0, 1.0)
+    # Tap order matches the previous lax.conv kernels (verified
+    # numerically): (1, 0, -1) reproduces the old [-1, 0, 1] Sobel rows.
+    diff = (1.0, 0.0, -1.0)
+    gx = separable_filter(img, smooth, diff)
+    gy = separable_filter(img, diff, smooth)
     return gx, gy
 
 
 def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Sample 2D image at float coords xy (..., 2) = (x, y), bilinear,
+    """Sample an image at float coords xy (..., 2) = (x, y), bilinear,
     clamped to borders. Gather-based: vectorizes over any batch shape.
+
+    img may be [H, W] (returns xy.shape[:-1]) or [H, W, C] (returns
+    xy.shape[:-1] + (C,)): multi-channel sampling gathers C-float rows
+    with ONE take, so co-located fields (edge mask + angle fields,
+    gx + gy) cost one gather instead of one per field.
 
     Indexes the flattened image with a single fused index (y*w + x):
     1-D `take` lowers to a fast TPU gather, while the equivalent 2-D
     advanced indexing lowers ~4x slower (measured on v5e)."""
-    h, w = img.shape
-    flat = img.reshape(-1)
+    channels = img.ndim == 3
+    h, w = img.shape[0], img.shape[1]
+    flat = img.reshape(h * w, -1) if channels else img.reshape(-1)
     x = jnp.clip(xy[..., 0], 0.0, w - 1.001)
     y = jnp.clip(xy[..., 1], 0.0, h - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
@@ -101,10 +126,13 @@ def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     fy = y - y0
     r0 = y0 * w
     r1 = y1 * w
-    v00 = jnp.take(flat, r0 + x0)
-    v01 = jnp.take(flat, r0 + x1)
-    v10 = jnp.take(flat, r1 + x0)
-    v11 = jnp.take(flat, r1 + x1)
+    v00 = jnp.take(flat, r0 + x0, axis=0)
+    v01 = jnp.take(flat, r0 + x1, axis=0)
+    v10 = jnp.take(flat, r1 + x0, axis=0)
+    v11 = jnp.take(flat, r1 + x1, axis=0)
+    if channels:
+        fx = fx[..., None]
+        fy = fy[..., None]
     return (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)

@@ -75,8 +75,10 @@ def lbd_descriptors(
         centers[:, :, None, :]
         + dperp[:, None, None, :] * band_off[None, None, :, None]
     )
-    sgx = bilinear_sample(gx, pts)  # [L, S, B]
-    sgy = bilinear_sample(gy, pts)
+    # One fused 2-channel gather for (gx, gy) — see bilinear_sample.
+    g = bilinear_sample(jnp.stack([gx, gy], axis=-1), pts)  # [L, S, B, 2]
+    sgx = g[..., 0]
+    sgy = g[..., 1]
 
     # Project gradients into the line frame.
     g_par = sgx * dl[:, None, None, 0] + sgy * dl[:, None, None, 1]

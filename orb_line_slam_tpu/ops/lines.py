@@ -5,16 +5,20 @@ LSDDetector — SURVEY.md §2.2, §7.2 hard-part #1).  LSD's greedy
 region-growing is inherently sequential, so this is a redesign with the
 same contract (oriented segments with endpoints, angle, response):
 
-  1. Sobel gradients -> magnitude + level-line angle (VPU stencils).
-  2. Oriented support: correlate the thresholded edge mask with K
-     discrete line directions (separable shifts — pure rolls/adds);
-     a pixel on a long straight edge of direction d scores ~ length.
-  3. Candidate centers: per-cell top-K of the oriented response
+  1. Sobel gradients -> magnitude + level-line doubled-angle fields
+     (banded-matmul stencils, ops/image.py).
+  2. Coherence score: Gaussian-blurred edge-masked (cos 2θ, sin 2θ);
+     its magnitude is high exactly where neighbouring edge pixels share
+     one line direction (texture cancels, straight edges add).  This
+     replaces an earlier 12-direction rolled correlation that cost
+     ~200 full-image ops (~50 ms/image on v5e) with two blurs (~1 ms).
+  3. Candidate centers: per-cell top-K of the score
      (reusing the keypoint distribution machinery).
-  4. Endpoint walk, batched: for each candidate, sample the aligned
-     edge mask along +-L steps of its direction; the segment extent is
-     the prefix-product run length (gap-tolerant) — a masked cumsum,
-     no data-dependent loops.
+  4. Endpoint walk, batched: for each candidate, sample the fused
+     (edge, cos2θ, sin2θ) field — ONE 3-channel gather per step batch —
+     along +-L steps of its direction; the segment extent is the
+     prefix run length with gap tolerance — a masked cumsum, no
+     data-dependent loops.
   5. Least-squares refit: endpoints snapped to the support centroid
      line; response = supported length.
 
@@ -29,9 +33,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .image import bilinear_sample, sobel_gradients
+from .image import bilinear_sample, gaussian_blur, sobel_gradients
 
-N_DIRS = 12          # orientation quantization over [0, pi)
 WALK_STEPS = 160     # max half-length of a segment in pixels
 GAP_TOL = 2          # tolerated consecutive support gaps during the walk
 
@@ -43,30 +46,6 @@ class DetectedLines(NamedTuple):
     length: jnp.ndarray   # float32 [L]
     response: jnp.ndarray  # float32 [L] supported length
     valid: jnp.ndarray    # bool [L]
-
-
-def _oriented_support(edge: jnp.ndarray, angle: jnp.ndarray, mag: jnp.ndarray):
-    """For each of N_DIRS directions: sum of aligned edge mask along a
-    +-7 px line through each pixel (15-tap correlation via rolls)."""
-    h, w = edge.shape
-    import math
-
-    responses = []
-    for k in range(N_DIRS):
-        theta = math.pi * k / N_DIRS
-        # Pixels whose level-line angle is compatible with direction k.
-        d = jnp.abs(((angle - theta + jnp.pi / 2) % jnp.pi) - jnp.pi / 2)
-        aligned = edge * (d < (jnp.pi / N_DIRS)).astype(jnp.float32)
-        dx, dy = math.cos(theta), math.sin(theta)
-        acc = aligned
-        for s in range(1, 8):
-            ox = int(round(dx * s))
-            oy = int(round(dy * s))
-            acc = acc + jnp.roll(aligned, (-oy, -ox), (0, 1)) + jnp.roll(
-                aligned, (oy, ox), (0, 1)
-            )
-        responses.append(acc)
-    return jnp.stack(responses)  # [N_DIRS, H, W]
 
 
 @functools.partial(jax.jit, static_argnames=("n_lines", "min_mag", "cell"))
@@ -83,52 +62,62 @@ def detect_lines(
     share one gradient pass with the LBD stage."""
     x = img.astype(jnp.float32)
     gx, gy = sobel_gradients(x) if grads is None else grads
-    mag = jnp.sqrt(gx * gx + gy * gy)
-    # Zero the border: conv zero-padding fabricates huge step edges there.
+    mag2 = gx * gx + gy * gy
+    # Zero the border: stencil zero-padding fabricates huge step edges there.
     hh, ww = x.shape
     ys = jnp.arange(hh)[:, None]
     xs = jnp.arange(ww)[None, :]
     interior = (ys >= 4) & (ys < hh - 4) & (xs >= 4) & (xs < ww - 4)
-    mag = jnp.where(interior, mag, 0.0)
-    # Level-line angle: direction ALONG the edge (perpendicular to grad).
-    angle = jnp.mod(jnp.arctan2(gy, gx) + jnp.pi / 2.0, jnp.pi)
-    edge = (mag > min_mag).astype(jnp.float32)
+    mag2 = jnp.where(interior, mag2, 0.0)
+    mag = jnp.sqrt(mag2)
+    edge = (mag2 > min_mag * min_mag).astype(jnp.float32)
 
-    support = _oriented_support(edge, angle, mag)  # [D, H, W]
-    best_dir = jnp.argmax(support, axis=0)
-    best_sup = jnp.max(support, axis=0)
+    # Level-line doubled angle (direction ALONG the edge = gradient
+    # direction + pi/2, so 2θ_ll = 2θ_grad + pi): unit (cos, sin) pair,
+    # masked to edge pixels.
+    inv = edge / jnp.maximum(mag2, 1e-9)
+    c2 = -(gx * gx - gy * gy) * inv
+    s2 = -(2.0 * gx * gy) * inv
 
-    # Candidate centers: suppress non-ridge pixels, distribute per cell.
+    # Coherence fields: blurred doubled-angle vectors.  |(c2b, s2b)| is
+    # the edge density times the local angular coherence — texture and
+    # corners cancel, straight supported edges score ~0.2 (the 1D
+    # Gaussian center weight) regardless of direction.
+    c2b = gaussian_blur(c2, sigma=2.0, radius=4)
+    s2b = gaussian_blur(s2, sigma=2.0, radius=4)
+    score = edge * jnp.sqrt(c2b * c2b + s2b * s2b)
+
     h, w = x.shape
-    score = jnp.where(edge > 0, best_sup, 0.0)
     from .topk_grid import select_topk_grid
 
-    xy, resp, valid = select_topk_grid(score, cell, 2, n_lines, 8.0)
+    xy, resp, valid = select_topk_grid(score, cell, 2, n_lines, 0.06)
 
-    # Sub-bin direction: smoothed doubled-angle field at the candidate
-    # (the 12-way quantization of best_dir would truncate sloped lines).
-    from .image import gaussian_blur
+    # Sub-bin direction at the candidate from the smoothed fields.
+    c2p = c2b[xy[:, 1], xy[:, 0]]
+    s2p = s2b[xy[:, 1], xy[:, 0]]
+    theta = jnp.mod(0.5 * jnp.arctan2(s2p, c2p), jnp.pi)
 
-    cos2f = gaussian_blur(edge * jnp.cos(2 * angle), sigma=2.0, radius=4)
-    sin2f = gaussian_blur(edge * jnp.sin(2 * angle), sigma=2.0, radius=4)
-    c2 = cos2f[xy[:, 1], xy[:, 0]]
-    s2 = sin2f[xy[:, 1], xy[:, 0]]
-    theta = jnp.mod(0.5 * jnp.arctan2(s2, c2), jnp.pi)
-
-    # Batched endpoint walk: sample alignment along +-WALK_STEPS.
+    # Batched endpoint walk on the fused (edge, cos2θ, sin2θ) field:
+    # ONE 3-channel gather per walk instead of three scalar gathers.
+    field = jnp.stack([edge, c2, s2], axis=-1)  # [H, W, 3]
     steps = jnp.arange(1, WALK_STEPS + 1, dtype=jnp.float32)
     centers = xy.astype(jnp.float32)
 
     def walk(direction_sign, theta, dxy):
         pts = centers[:, None, :] + direction_sign * dxy[:, None, :] * steps[None, :, None]
-        # A point supports the segment if the local edge there has a
-        # compatible angle (sampled with bilinear tolerance).
-        e = bilinear_sample(edge, pts) > 0.25
-        a = bilinear_sample(jnp.cos(2 * angle), pts)
-        b = bilinear_sample(jnp.sin(2 * angle), pts)
-        # cos(2(angle-theta)) > cos(2*tol): angle within tol of theta
-        cos2 = a * jnp.cos(2 * theta)[:, None] + b * jnp.sin(2 * theta)[:, None]
-        good = e & (cos2 > 0.0)
+        s = bilinear_sample(field, pts)              # [L, S, 3]
+        e = s[..., 0] > 0.25
+        # Angle gate, normalized: cos(2(angle-theta)) > 0.5 = within
+        # pi/6 of theta.  Normalizing by the sampled magnitude removes
+        # the edge-mask scaling; the tight tolerance is what kills
+        # walks that hop across curved structures (dot rims, corners)
+        # whose tangents drift away from the chord direction.
+        nrm2 = jnp.sqrt(s[..., 1] ** 2 + s[..., 2] ** 2) + 1e-6
+        cos2 = (
+            s[..., 1] * jnp.cos(2 * theta)[:, None]
+            + s[..., 2] * jnp.sin(2 * theta)[:, None]
+        ) / nrm2
+        good = e & (cos2 > 0.5)
         # Gap-tolerant run length: the walk dies at the first window of
         # GAP_TOL+1 consecutive misses.  Closed form (no scan — a scan
         # of 160 tiny sequential kernels wastes the VPU): a window of
@@ -140,8 +129,12 @@ def detect_lines(
             run = run & jnp.pad(miss, ((0, 0), (sft, 0)))[:, : miss.shape[1]]
         dead = jnp.cumsum(run.astype(jnp.int32), axis=1) > 0
         alive = ~dead
-        extent = jnp.sum(alive.astype(jnp.float32), axis=1)
-        supported = jnp.sum((good & alive).astype(jnp.float32), axis=1)
+        ga = good & alive
+        # Extent ends at the LAST SUPPORTED step, not at walk death —
+        # otherwise every segment grows GAP_TOL px of unsupported tail,
+        # which tilts the endpoint refit below.
+        extent = jnp.max(jnp.where(ga, steps[None, :], 0.0), axis=1)
+        supported = jnp.sum(ga.astype(jnp.float32), axis=1)
         return extent, supported
 
     def both_walks(theta):
@@ -160,29 +153,50 @@ def detect_lines(
     theta = jnp.mod(jnp.arctan2(d01[:, 1], d01[:, 0]), jnp.pi)
     p0, p1, length, supported = both_walks(theta)
 
-    # Sub-pixel lateral refinement: shift the segment along its normal to
-    # the magnitude-weighted perpendicular centroid of its support.
-    dxy = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
-    nrm = jnp.stack([-jnp.sin(theta), jnp.cos(theta)], axis=-1)
-    ts_ref = jnp.linspace(0.05, 0.95, 16)
-    perp_off = jnp.arange(-2, 3, dtype=jnp.float32)
-    seg = p1 - p0
-    base = p0[:, None, :] + seg[:, None, :] * ts_ref[None, :, None]      # [L,16,2]
-    samp = (
-        base[:, :, None, :] + nrm[:, None, None, :] * perp_off[None, None, :, None]
-    )                                                                     # [L,16,5,2]
-    wmag = bilinear_sample(mag, samp)                                     # [L,16,5]
-    woff = jnp.sum(wmag * perp_off[None, None, :], axis=2) / (
-        jnp.sum(wmag, axis=2) + 1e-6
-    )                                                                     # [L,16]
-    shift = jnp.mean(woff, axis=1)
-    p0 = p0 + nrm * shift[:, None]
-    p1 = p1 + nrm * shift[:, None]
+    # Sub-pixel refinement: least-squares refit of the chord through the
+    # magnitude-weighted perpendicular support centroids — corrects BOTH
+    # the lateral offset and the residual angle error of the walk (a
+    # mean-shift alone leaves ~0.5 deg of tilt = px-level endpoint error
+    # on 150 px segments, which the stereo disparity path amplifies).
+    # Two iterations: a chord starting ~2 px off-center sees the support
+    # asymmetrically, so one round under-corrects.
+    ts_ref = jnp.linspace(0.02, 0.98, 32)
+    perp_off = jnp.arange(-3, 4, dtype=jnp.float32)
 
-    ok = valid & (length >= 12.0) & (supported / jnp.maximum(length, 1.0) > 0.6)
-    # Clamp endpoints to the image.
+    def refit(p0, p1):
+        d01 = p1 - p0
+        th = jnp.arctan2(d01[:, 1], d01[:, 0])
+        nrm = jnp.stack([-jnp.sin(th), jnp.cos(th)], axis=-1)
+        base = p0[:, None, :] + d01[:, None, :] * ts_ref[None, :, None]  # [L,32,2]
+        samp = (
+            base[:, :, None, :]
+            + nrm[:, None, None, :] * perp_off[None, None, :, None]
+        )                                                                 # [L,16,7,2]
+        wmag = bilinear_sample(mag, samp)                                 # [L,16,7]
+        wsum = jnp.sum(wmag, axis=2)                                      # [L,16]
+        woff = jnp.sum(wmag * perp_off[None, None, :], axis=2) / (wsum + 1e-6)
+        # Weighted linear fit woff ~ a + b * t (weights = support
+        # strength: rows past the true segment end contribute ~nothing).
+        wn = wsum / (jnp.sum(wsum, axis=1, keepdims=True) + 1e-6)
+        tbar = jnp.sum(wn * ts_ref[None, :], axis=1)
+        obar = jnp.sum(wn * woff, axis=1)
+        tc = ts_ref[None, :] - tbar[:, None]
+        b_fit = jnp.sum(wn * tc * (woff - obar[:, None]), axis=1) / (
+            jnp.sum(wn * tc * tc, axis=1) + 1e-6
+        )
+        a_fit = obar - b_fit * tbar
+        return p0 + nrm * a_fit[:, None], p1 + nrm * (a_fit + b_fit)[:, None]
+
+    p0, p1 = refit(*refit(*refit(p0, p1)))
+
+    ok = valid & (length >= 12.0) & (supported / jnp.maximum(length, 1.0) > 0.75)
+    # Clamp endpoints to the image; re-derive angle/length from the
+    # refit endpoints so downstream gates see consistent geometry.
     p0 = jnp.stack([jnp.clip(p0[:, 0], 0, w - 1), jnp.clip(p0[:, 1], 0, h - 1)], -1)
     p1 = jnp.stack([jnp.clip(p1[:, 0], 0, w - 1), jnp.clip(p1[:, 1], 0, h - 1)], -1)
+    d01 = p1 - p0
+    theta = jnp.mod(jnp.arctan2(d01[:, 1], d01[:, 0]), jnp.pi)
+    length = jnp.linalg.norm(d01, axis=-1)
     return DetectedLines(
         p0=p0, p1=p1, angle=theta, length=length, response=supported,
         valid=ok,
@@ -190,7 +204,7 @@ def detect_lines(
 
 
 def merge_collinear(lines: DetectedLines, ang_tol: float = 0.06,
-                    dist_tol: float = 3.0) -> DetectedLines:
+                    dist_tol: float = 4.0) -> DetectedLines:
     """Suppress duplicate detections of the same physical segment: for
     every pair with similar angle, nearby infinite lines and overlapping
     extent, keep the longer one.  O(L^2) masked ops, static shape."""

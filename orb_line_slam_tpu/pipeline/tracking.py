@@ -53,6 +53,7 @@ from ..geometry.host import (
 )
 from ..matching.point_matcher import match_descriptors, rotation_consistency
 from ..slam_map.map_store import MapStore
+from ..utils.timing import StageTimer
 from .track_step import (
     MapMirror,
     pack_kf_event,
@@ -173,6 +174,8 @@ class Tracker:
         self._map_jobs = None            # (kf, tri_job, fuse_job)
         self._kf_frames: dict[int, Frame] = {}   # device per-KF frames
         self._kf_frames_max = 32
+        # Per-stage host timing (tools/profile_stages.py, bench extra).
+        self.timing = StageTimer()
 
     # ------------------------------------------------------------------
     # public per-frame entry points
@@ -182,9 +185,10 @@ class Tracker:
         of the most recently *consumed* frame (the current frame when
         pipeline_depth=0)."""
         self.frame_id += 1
-        l = jnp.asarray(img_left)
-        r = jnp.asarray(img_right)
-        frame = build_stereo_frame(l, r, self.cfg)
+        with self.timing.stage("frontend_dispatch"):
+            l = jnp.asarray(img_left)
+            r = jnp.asarray(img_right)
+            frame = build_stereo_frame(l, r, self.cfg)
         if self.cfg.lines.enabled:
             from ..frontend.line_extractor import build_line_features
 
@@ -325,11 +329,12 @@ class Tracker:
             self._record(self.frame_id, timestamp, lost=(self.state != "OK"))
             return self.current_pose()
 
-        out = self._dispatch_track_step(frame, self.cur_lines)
-        try:
-            out.packed.copy_to_host_async()
-        except AttributeError:
-            pass
+        with self.timing.stage("track_dispatch"):
+            out = self._dispatch_track_step(frame, self.cur_lines)
+            try:
+                out.packed.copy_to_host_async()
+            except AttributeError:
+                pass
         self._q.append(_PipeEntry(
             fid=self.frame_id, ts=timestamp, frame=frame,
             prev_frame=self._prev_for_dispatch, lines=self.cur_lines,
@@ -398,7 +403,8 @@ class Tracker:
 
     def _consume(self):
         e = self._q.pop(0)
-        packed = np.asarray(e.out.packed)
+        with self.timing.stage("consume_fetch"):
+            packed = np.asarray(e.out.packed)
         ok = packed[12] > 0.5
 
         if not ok:
@@ -483,6 +489,7 @@ class Tracker:
         local-map snapshot ids ride one small int32 upload."""
         from .mirror import mirror_apply, mirror_from_flat, pack_delta, pack_full
 
+        _t0 = time.perf_counter()
         m = self.map
         cfg = self.cfg
         k = self.ref_kf
@@ -563,6 +570,7 @@ class Tracker:
             "ref_kf": k,
         }
         self._mirror_dirty = False
+        self.timing.add("mirror_refresh", time.perf_counter() - _t0)
 
     # ------------------------------------------------------------------
     def current_pose(self) -> np.ndarray:
@@ -795,6 +803,7 @@ class Tracker:
         return (c1a or c1b or c1c) and c2
 
     def _create_keyframe(self, e: _PipeEntry, n_inliers: int = 0):
+        _t0 = time.perf_counter()
         cfg = self.cfg
         # ONE packed fetch: frame feature table + association + line
         # matches + found/visible accumulators (track_step.pack_kf_event).
@@ -802,7 +811,8 @@ class Tracker:
 
         Lcap = e.out.ln_match_idx.shape[0]
         cap = e.out.found_acc.shape[0]
-        buf = np.asarray(pack_kf_event(e.frame, e.out))
+        with self.timing.stage("kf_event_fetch"):
+            buf = np.asarray(pack_kf_event(e.frame, e.out))
         fh, assoc, _inl, ln_idx, ln_mask, found, vis = unpack_kf_event(
             buf, e.frame.n, Lcap, cap
         )
@@ -818,8 +828,9 @@ class Tracker:
         # Join the previous keyframe's mapping chain before mutating the
         # map for this one (jobs were dispatched frames ago — normally
         # long finished).
-        self.poll_map_jobs(force=True)
-        self.flush_pending_ba()
+        with self.timing.stage("kf_join_prev_chain"):
+            self.poll_map_jobs(force=True)
+            self.flush_pending_ba()
         # Drop associations invalidated by mapping since dispatch.
         assoc[assoc >= 0] = np.where(
             self.map.pt_valid[assoc[assoc >= 0]], assoc[assoc >= 0], -1
@@ -895,15 +906,16 @@ class Tracker:
             from ..slam_map.fuse import dispatch_fuse
             from ..slam_map.triangulation import dispatch_triangulation
 
-            ids, _ = self.map.covisible_keyframes(kf, min_weight=10, max_n=5)
-            tri_job = dispatch_triangulation(
-                self.map, kf, ids, cfg.camera, cfg.orb.scale_factor,
-                kf_frames=self._kf_frames,
-            )
-            fuse_job = dispatch_fuse(
-                self.map, kf, ids, cfg.camera, cfg.orb.level_scales,
-                kf_frames=self._kf_frames,
-            )
+            with self.timing.stage("map_jobs_dispatch"):
+                ids, _ = self.map.covisible_keyframes(kf, min_weight=10, max_n=5)
+                tri_job = dispatch_triangulation(
+                    self.map, kf, ids, cfg.camera, cfg.orb.scale_factor,
+                    kf_frames=self._kf_frames,
+                )
+                fuse_job = dispatch_fuse(
+                    self.map, kf, ids, cfg.camera, cfg.orb.level_scales,
+                    kf_frames=self._kf_frames,
+                )
             self._map_jobs = (kf, tri_job, fuse_job)
             self._map_jobs_t = time.monotonic()
             if not self.async_mapping:
@@ -928,7 +940,8 @@ class Tracker:
         if self.on_keyframe is not None:
             R_before = self.map.kf_R[kf].copy()
             t_before = self.map.kf_t[kf].copy()
-            self.on_keyframe(kf)
+            with self.timing.stage("loop_closing"):
+                self.on_keyframe(kf)
             # A loop closure may have rewritten keyframe poses; ride
             # with the (possibly corrected) reference keyframe.
             self.R = self.map.kf_R[kf].copy()
@@ -946,6 +959,7 @@ class Tracker:
                 self.last_frame = e.frame
                 self._drain_required = True
         self.mark_map_dirty()
+        self.timing.add("kf_event_total", time.perf_counter() - _t0)
 
     def _local_ba(self, center_kf, defer: bool = False):
         """Local bundle adjustment.  With defer=True the device solve is
@@ -1026,8 +1040,9 @@ class Tracker:
 
     def _apply_ba(self, pack, lpack, fetch, center_kf, ride=False):
         packed, treedef, shapes = fetch
-        res = _unpack_fetched(np.asarray(packed), treedef, shapes)
-        self.map.apply_ba_result(pack, res)
+        with self.timing.stage("ba_apply"):
+            res = _unpack_fetched(np.asarray(packed), treedef, shapes)
+            self.map.apply_ba_result(pack, res)
         if lpack is not None:
             self.map.apply_line_ba_result(
                 lpack, np.asarray(res.line_U), np.asarray(res.line_w),
@@ -1098,10 +1113,12 @@ class Tracker:
 
         if not self.map.kf_valid[kf]:
             return
-        tri_ids = apply_triangulation(self.map, tri_job)
-        if len(tri_ids):
-            self.recent_lm.append(tri_ids)
-        apply_fuse(self.map, fuse_job)
+        with self.timing.stage("map_jobs_apply"):
+            tri_ids = apply_triangulation(self.map, tri_job)
+            if len(tri_ids):
+                self.recent_lm.append(tri_ids)
+            apply_fuse(self.map, fuse_job)
         if self.map.n_keyframes() >= 3 and not self.localization_only:
-            self._local_ba(kf, defer=self.async_mapping)
+            with self.timing.stage("local_ba_dispatch"):
+                self._local_ba(kf, defer=self.async_mapping)
         self.mark_map_dirty()
