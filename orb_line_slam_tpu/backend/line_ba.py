@@ -226,7 +226,12 @@ def bundle_adjust_pl(
         R2, t2 = jax.vmap(se3_compose)(dR, dt, R, t)
         points2 = points + dp
         U2, w2 = orthonormal_retract(U, w, dl)
-        err0, _, _ = total_chi2(R, t, points, U, w, ov, lov, use_huber)
+        # err0 from this iteration's residuals (saves a full pass).
+        wp0 = huber_weight(c_p, CHI2_STEREO) if use_huber else 1.0
+        wl0 = huber_weight(c_l, CHI2_MONO) if use_huber else 1.0
+        err0 = jnp.sum(jnp.where(ov, c_p * wp0, 0.0)) + jnp.sum(
+            jnp.where(lov, c_l * wl0, 0.0)
+        )
         err1, _, _ = total_chi2(R2, t2, points2, U2, w2, ov, lov, use_huber)
         accept = err1 < err0
         R = jnp.where(accept, R2, R)

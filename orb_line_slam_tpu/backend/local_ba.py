@@ -177,7 +177,10 @@ def bundle_adjust(
         dR, dt = se3_exp(dc * free_c)
         R2, t2 = jax.vmap(se3_compose)(dR, dt, R, t)
         points2 = points + dp
-        err0, _ = total_chi2(R, t, points, o_valid, use_huber)
+        # err0 from the residuals already computed this iteration (a
+        # second full residual pass was ~25% of the iteration cost).
+        w0 = huber_weight(c, CHI2_STEREO) if use_huber else 1.0
+        err0 = jnp.sum(jnp.where(o_valid, c * w0, 0.0))
         err1, _ = total_chi2(R2, t2, points2, o_valid, use_huber)
         accept = err1 < err0
         R = jnp.where(accept, R2, R)

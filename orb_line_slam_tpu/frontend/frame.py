@@ -56,10 +56,10 @@ def build_stereo_frame(
     """
     from .orb_extractor import extract_orb_stereo
 
-    featL, tilesL, featR, _, atlasR, offsR = extract_orb_stereo(
+    featL, tilesL, deltaL, featR, _, atlasR, offsR = extract_orb_stereo(
         img_left, img_right, cfg.orb
     )
-    sm = stereo_match(featL, featR, tilesL, atlasR, offsR, cfg.camera, cfg.orb)
+    sm = stereo_match(featL, featR, tilesL, deltaL, atlasR, offsR, cfg.camera, cfg.orb)
 
     xy_und = undistort_points(cfg.camera, featL.xy)
     return Frame(

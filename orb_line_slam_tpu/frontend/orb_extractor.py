@@ -289,4 +289,10 @@ def extract_orb_stereo(img_left: jnp.ndarray, img_right: jnp.ndarray, cfg: OrbCo
                 valid=valid,
             )
         )
-    return feats[0], tiles_raw[:n], feats[1], tiles_raw[n:], atlases[1], offs
+    # per_image[i][5] is the sub-pixel detect offset: the raw tiles are
+    # anchored at xy_int = xy/scale - delta, which the stereo SAD needs
+    # to anchor disparity consistently with the sub-pixel keypoint.
+    return (
+        feats[0], tiles_raw[:n], per_image[0][5],
+        feats[1], tiles_raw[n:], atlases[1], offs,
+    )

@@ -91,6 +91,7 @@ def stereo_match(
     featL,
     featR,
     tilesL: jnp.ndarray,
+    deltaL: jnp.ndarray,
     atlasR: jnp.ndarray,
     offsR: jnp.ndarray,
     cam: CameraIntrinsics,
@@ -172,8 +173,17 @@ def stereo_match(
     delta = jnp.where(jnp.abs(denom) > 1e-6, (s0 - s2) / (2.0 * denom), 0.0)
     interior = (best_k > 0) & (best_k < n_off - 1) & (jnp.abs(delta) <= 1.0)
 
-    u_right = (xr0 + (best_k - SAD_SLIDE).astype(jnp.float32) + delta) * sc
-    disparity = uL - u_right
+    # Disparity anchored at the INTEGER left column the raw tile was
+    # gathered at (xl_int = uL/sc - deltaL_x): the SAD localizes the
+    # tile's content, which sits at the integer anchor, not at the
+    # sub-pixel-refined uL.  Reporting u_right = uL - d keeps the
+    # (uL, uR) observation pair consistent with the refined uL
+    # (ADVICE r2 #2 — the mismatch injected up to +-0.5 px of
+    # per-feature disparity error at the keypoint's level).
+    xl_int = uL / sc - deltaL[:, 0]
+    xr_m = xr0 + (best_k - SAD_SLIDE).astype(jnp.float32) + delta
+    disparity = (xl_int - xr_m) * sc
+    u_right = uL - disparity
     geom_ok = (disparity > min_disp) & (disparity < max_disp)
 
     # Median-deviation rejection over matched SAD scores (reference's

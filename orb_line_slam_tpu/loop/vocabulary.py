@@ -207,6 +207,35 @@ class Vocabulary:
         words = np.asarray(self._jit_transform(jnp.asarray(descs)))
         return np.where(np.asarray(valid), words, -1)
 
+    def dispatch_transform(self, descs):
+        """Dispatch the device word descent WITHOUT fetching: the caller
+        resolves the returned device array later (LoopCloser hides the
+        ~25 ms tunnel fetch behind one keyframe interval)."""
+        if self._jit_transform is None:
+            self.transform_words(descs[:1], np.ones(1, bool))  # build jit
+        out = self._jit_transform(jnp.asarray(descs))
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        return out
+
+    @staticmethod
+    def bow_from_words(words: np.ndarray, valid: np.ndarray,
+                       word_weight: np.ndarray):
+        """(sorted word ids, L1-normalized tf-idf weights) from resolved
+        leaf words (the host half of bow_vector)."""
+        words = np.where(valid, words, -1)
+        words = words[words >= 0]
+        if len(words) == 0:
+            return np.zeros(0, np.int32), np.zeros(0, np.float32)
+        ids, counts = np.unique(words, return_counts=True)
+        w = counts.astype(np.float32) * word_weight[ids]
+        n = w.sum()
+        if n > 0:
+            w = w / n
+        return ids.astype(np.int32), w
+
     def bow_vector(self, descs, valid):
         """Sparse tf-idf BoW: (sorted word ids [W], L1-normalized weights)."""
         words = self.transform_words(descs, valid)

@@ -38,6 +38,14 @@ class System:
             settings if isinstance(settings, SlamConfig) else load_settings(settings)
         )
         self.tracker = Tracker(self.cfg)
+        # pipeline_depth (consume lag) measured on-chip at 0/1/2 with
+        # the async mapping chain: the packed fetch is already cheap
+        # (the device queue, not the fetch RTT, is the bottleneck), and
+        # each frame of lag makes post-keyframe frames track against a
+        # stale mirror — ATE 0.074 -> 0.28 m on the 48-frame synthetic
+        # loop for ~7% throughput.  Keep 0; the queue machinery stays
+        # available for latency-tolerant configurations.
+        self.tracker.pipeline_depth = 0
         self.voc: Optional[Vocabulary] = None
         if isinstance(vocabulary, Vocabulary):
             self.voc = vocabulary
@@ -129,11 +137,13 @@ class System:
 
     def shutdown(self):
         """Join outstanding asynchronous work (pipelined frames,
-        deferred local BA, in-flight global BA) — the reference's
-        thread-join shutdown."""
+        deferred local BA, pending loop detection, in-flight global BA)
+        — the reference's thread-join shutdown."""
         self.tracker.flush()
         self.tracker.flush_pending_ba()
         if self.loop_closer is not None:
+            if self.loop_closer.flush():
+                self.n_loops_closed += 1
             self.loop_closer.poll_global_ba(force=True)
 
     # ------------------------------------------------------------------

@@ -44,7 +44,11 @@ import jax.numpy as jnp
 
 from ..backend.pnp import solve_pnp_ransac
 from ..backend.pose_opt import pose_optimize
-from ..backend.residuals import line_obs_coeffs
+from ..backend.residuals import (
+    inv_level_sigma2,
+    line_obs_coeffs,
+    make_point_residual_fn,
+)
 from ..config import SlamConfig
 from ..geometry.camera import project_stereo
 from ..geometry.se3 import se3_apply, se3_compose
@@ -171,13 +175,22 @@ def track_step(
     selA = gidA >= 0
 
     obs = jnp.stack([frame.xy[:, 0], frame.xy[:, 1], frame.u_right], -1)
+    # Short stage-1 schedule: this pose only seeds the radius-4 local-map
+    # search and the final joint optimization (full 4x10) below; 2x8
+    # converges within the search tolerance at ~40% of the device time.
     resA = pose_optimize(
         Rp, tp, ptsA, obs, frame.octave, selA & frame.valid,
-        cam, cfg.orb.scale_factor,
+        cam, cfg.orb.scale_factor, rounds=2, iters=8,
     )
     okA = has_velocity & (n_mm >= 20) & (resA.n_inliers >= 10)
 
     # ---- Path B: reference keyframe (BoW-match analog) ---------------
+    # B's INDEPENDENT solve runs every frame: path A anchors to the last
+    # frame (drift random-walks), B anchors to the reference keyframe.
+    # Skipping B's solve when A "looks healthy" was measured to let A's
+    # bias self-confirm (its matches are selected BY the velocity
+    # prediction) — inliers decay 300 -> 50 within 5 frames and the
+    # keyframe rate triples.  Only the EPnP init is conditional.
     du = frame.xy[:, 0:1] - ref_xy[None, :, 0]
     dv = frame.xy[:, 1:2] - ref_xy[None, :, 1]
     window = (du * du + dv * dv) < 150.0**2
@@ -191,12 +204,15 @@ def track_step(
     rB = jnp.where(selB, mB.idx, 0)
     ptsB = ref_pos[rB]
     gidB = jnp.where(selB, ref_gid[rB], -1)
+
     # RANSAC-EPnP pose init (beyond the reference, which seeds LM at the
     # last pose): path B matches are descriptor-windowed, not
     # projection-gated, so a single wrong-depth landmark with ~fx/z
     # leverage can anchor a straight LM solve in a wrong basin (measured
-    # 0.16 m pose bias from one ghost).  128 batched EPnP hypotheses are
-    # ~free on the MXU and make the init outlier-proof.
+    # 0.16 m pose bias from one ghost).  128 batched EPnP hypotheses
+    # make the init outlier-proof — and INDEPENDENT of path A, which is
+    # what lets B arrest A's drift (seeding B from A was measured to
+    # collapse tracking within ~5 frames).
     sigma2B = (cfg.orb.scale_factor ** frame.octave.astype(jnp.float32)) ** 2
     Rr, tr, _, n_r = solve_pnp_ransac(
         ptsB, frame.xy, selB & frame.valid, jax.random.PRNGKey(17), cam,
@@ -207,19 +223,14 @@ def track_step(
     t_b0 = jnp.where(use_r, tr, t_last)
     resB = pose_optimize(
         R_b0, t_b0, ptsB, obs, frame.octave, selB & frame.valid,
-        cam, cfg.orb.scale_factor,
+        cam, cfg.orb.scale_factor, rounds=2, iters=8,
     )
     okB = (n_ref >= 15) & (resB.n_inliers >= 10)
 
-    # ---- Branchless select (reference: fallback ladder, upgraded) -----
-    # The reference prefers the motion model whenever it "succeeds";
-    # measured on the synthetic bench that lets a marginally-successful
-    # path A (its matches are selected BY the velocity prediction, so
-    # they confirm it) outvote a healthier reference-KF solution and
-    # compound forward drift geometrically.  Both paths are computed
-    # anyway (branchless), so: pick the stage-1 pose by inlier count,
-    # and feed the UNION of both association sets into the final joint
-    # optimization (chi2 gating prunes whichever half is wrong).
+    # ---- Stage-1 select (reference: fallback ladder, upgraded) --------
+    # Pick the better-supported pose; feed the UNION of both association
+    # sets into the final joint optimization (chi2 gating prunes
+    # whichever half is wrong).
     scoreA = jnp.where(okA, resA.n_inliers, -1)
     scoreB = jnp.where(okB, resB.n_inliers, -1)
     use_mm = okA & (scoreA >= scoreB)
@@ -331,6 +342,20 @@ def track_step(
         ln_match_idx=ln_match_idx, ln_match_mask=ln_match_mask,
         packed=packed,
     )
+
+
+@jax.jit
+def remap_stats(out: TrackOut, remap) -> TrackOut:
+    """Re-index the found/visible accumulator carries when the local-map
+    snapshot changes between keyframe events (mid-interval mirror
+    refreshes after async BA/fuse applies): new slot j takes old slot
+    remap[j]'s count (-1 -> 0).  Without this, counts accumulated
+    against the old snapshot would be credited to whatever landmark now
+    occupies the slot (ADVICE r2 #1)."""
+    def take(a):
+        return jnp.where(remap >= 0, a[jnp.clip(remap, 0, None)], 0)
+
+    return out._replace(found_acc=take(out.found_acc), vis_acc=take(out.vis_acc))
 
 
 @jax.jit

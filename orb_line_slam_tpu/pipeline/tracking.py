@@ -113,6 +113,7 @@ class _PipeEntry:
     out: object                   # TrackOut (device)
     snap_host: np.ndarray         # snapshot global ids at dispatch time
     ln_ids: Optional[np.ndarray]  # mirror line ids at dispatch time
+    kf_epoch: int = 0             # keyframe epoch at dispatch time
 
 
 class Tracker:
@@ -167,11 +168,20 @@ class Tracker:
         # Pipeline state.
         self._q: list[_PipeEntry] = []
         self._carry = None               # (frame, TrackOut) device carries
+        # Keyframe epoch: a frame DISPATCHED before the latest keyframe
+        # existed cannot see its landmarks — judging it against the new
+        # keyframe's inlier bar cascades into a KF-per-frame storm at
+        # pipeline_depth > 0, so such frames never trigger keyframes.
+        self._kf_epoch = 0
         # Mapping-job pipeline (the LocalMapping lag): per-KF device
         # programs (triangulation + fuse) dispatched at keyframe events,
         # applied by a non-blocking poll when they complete; local BA is
-        # dispatched right after their application.
-        self._map_jobs = None            # (kf, tri_job, fuse_job)
+        # dispatched right after their application.  A QUEUE: keyframe
+        # creation never blocks on the previous keyframe's chain
+        # (generation guards in the apply paths make late application
+        # safe); backpressure joins the queue only when 2+ chains pile
+        # up.
+        self._map_jobs: list[tuple] = []  # [(kf, tri_job, fuse_job, t)]
         self._kf_frames: dict[int, Frame] = {}   # device per-KF frames
         self._kf_frames_max = 32
         # Per-stage host timing (tools/profile_stages.py, bench extra).
@@ -217,9 +227,12 @@ class Tracker:
 
     def flush(self):
         """Drain the pipeline: consume every in-flight frame and join
-        the mapping-job / local-BA chain."""
+        the mapping-job / local-BA chains."""
         while self._q:
             self._consume()
+        self.poll_map_jobs(force=True)
+        self.flush_pending_ba()
+        # A chain application may have enqueued a fresh local BA.
         self.poll_map_jobs(force=True)
         self.flush_pending_ba()
 
@@ -339,7 +352,7 @@ class Tracker:
             fid=self.frame_id, ts=timestamp, frame=frame,
             prev_frame=self._prev_for_dispatch, lines=self.cur_lines,
             out=out, snap_host=self._mir["snap_host"],
-            ln_ids=self._mir["ln_ids"],
+            ln_ids=self._mir["ln_ids"], kf_epoch=self._kf_epoch,
         ))
         while len(self._q) > self.pipeline_depth:
             self._consume()
@@ -450,7 +463,9 @@ class Tracker:
             self.state = "OK"
             # velocity = T_curr * T_last^-1 (host mirror of the carry)
             self.vel = nse3_relative(self.R, self.t, self.last_R, self.last_t)
-            if self._need_keyframe(n_inliers, tracked_close, untracked_close):
+            if e.kf_epoch == self._kf_epoch and self._need_keyframe(
+                n_inliers, tracked_close, untracked_close
+            ):
                 self._create_keyframe(e, n_inliers)
                 self.frames_since_kf = 0
             else:
@@ -506,6 +521,23 @@ class Tracker:
             lm = lm[-cap:]
         snap_ids = np.full(cap, -1, np.int32)
         snap_ids[: len(lm)] = lm
+
+        # The snapshot is changing: re-index the in-flight found/visible
+        # accumulator carries from old slots to new (device-side remap,
+        # no fetch) so counts stay attributed to the same landmarks.
+        if self._carry is not None and self._mir is not None:
+            old = self._mir["snap_host"]
+            if not (len(old) == len(lm) and np.array_equal(old, lm)):
+                from .track_step import remap_stats
+
+                lookup = np.full(m.P, -1, np.int32)
+                lookup[old] = np.arange(len(old), dtype=np.int32)
+                remap = np.full(cap, -1, np.int32)
+                remap[: len(lm)] = lookup[lm]
+                self._carry = (
+                    self._carry[0],
+                    remap_stats(self._carry[1], jnp.asarray(remap)),
+                )
 
         # --- point table: packed delta or full upload ---
         # (local BA dirties up to local_points=8192 rows per apply; the
@@ -794,7 +826,10 @@ class Tracker:
         # Mono inserts more eagerly (reference: thRefRatio 0.9 mono,
         # 0.75 stereo) since landmarks only come from triangulation.
         ref_ratio = 0.9 if is_mono else 0.75
-        mapping_idle = self._pending_ba is None
+        # "LocalMapping idle" = no mapping chain outstanding: neither a
+        # deferred BA nor unapplied triangulation/fuse jobs (the window
+        # right after a KF when jobs haven't landed is NOT idle).
+        mapping_idle = self._pending_ba is None and not self._map_jobs
         nref = max(self.ref_kf_matches, 15)
         c1a = self.frames_since_kf >= cfg.max_frames_between_kf
         c1b = self.frames_since_kf >= max(cfg.min_frames_between_kf, 1) and mapping_idle
@@ -804,6 +839,7 @@ class Tracker:
 
     def _create_keyframe(self, e: _PipeEntry, n_inliers: int = 0):
         _t0 = time.perf_counter()
+        self._kf_epoch += 1
         cfg = self.cfg
         # ONE packed fetch: frame feature table + association + line
         # matches + found/visible accumulators (track_step.pack_kf_event).
@@ -825,12 +861,15 @@ class Tracker:
         if self._carry is not None:
             self._carry = (self._carry[0], zero_stats(self._carry[1]))
 
-        # Join the previous keyframe's mapping chain before mutating the
-        # map for this one (jobs were dispatched frames ago — normally
-        # long finished).
+        # Non-blocking poll of the previous keyframe's mapping chain —
+        # generation guards in the apply paths make late application
+        # safe, so keyframe creation no longer joins it (the reference's
+        # Tracking thread doesn't wait for LocalMapping either).
+        # Backpressure: only when 2+ chains are outstanding (the device
+        # has fallen behind) join the oldest.
         with self.timing.stage("kf_join_prev_chain"):
-            self.poll_map_jobs(force=True)
-            self.flush_pending_ba()
+            self.poll_map_jobs(force=len(self._map_jobs) >= 2)
+            self.poll_pending_ba()
         # Drop associations invalidated by mapping since dispatch.
         assoc[assoc >= 0] = np.where(
             self.map.pt_valid[assoc[assoc >= 0]], assoc[assoc >= 0], -1
@@ -916,8 +955,7 @@ class Tracker:
                     self.map, kf, ids, cfg.camera, cfg.orb.level_scales,
                     kf_frames=self._kf_frames,
                 )
-            self._map_jobs = (kf, tri_job, fuse_job)
-            self._map_jobs_t = time.monotonic()
+            self._map_jobs.append((kf, tri_job, fuse_job, time.monotonic()))
             if not self.async_mapping:
                 self.poll_map_jobs(force=True)
         if self.map.n_keyframes() >= 3:
@@ -1084,41 +1122,48 @@ class Tracker:
             self._ba_next_poll = now + 0.1
 
     def poll_map_jobs(self, force: bool = False):
-        """Apply the pending per-keyframe mapping jobs (triangulation +
+        """Apply pending per-keyframe mapping jobs (triangulation +
         fuse) once their device programs finish, then dispatch the local
-        BA for that keyframe.  Non-blocking unless force=True; readiness
-        polls are time-throttled (is_ready is a ~20 ms tunnel RPC)."""
-        if self._map_jobs is None:
-            return
-        kf, tri_job, fuse_job = self._map_jobs
-        if not force:
-            now = time.monotonic()
-            if (
-                now - getattr(self, "_map_jobs_t", 0.0) < 0.05
-                or now < getattr(self, "_jobs_next_poll", 0.0)
-            ):
-                return
-            for job in (tri_job, fuse_job):
-                if job is None:
-                    continue
-                try:
-                    if not job["packed"].is_ready():
-                        self._jobs_next_poll = now + 0.1
-                        return
-                except AttributeError:
-                    pass
-        self._map_jobs = None
+        BA for that keyframe.  Non-blocking unless force=True (at most
+        one chain applied per non-forced poll, bounding the per-frame
+        host hiccup); readiness polls are time-throttled (is_ready is a
+        ~20 ms tunnel RPC when the buffer hasn't landed)."""
         from ..slam_map.fuse import apply_fuse
         from ..slam_map.triangulation import apply_triangulation
 
-        if not self.map.kf_valid[kf]:
-            return
-        with self.timing.stage("map_jobs_apply"):
-            tri_ids = apply_triangulation(self.map, tri_job)
-            if len(tri_ids):
-                self.recent_lm.append(tri_ids)
-            apply_fuse(self.map, fuse_job)
-        if self.map.n_keyframes() >= 3 and not self.localization_only:
-            with self.timing.stage("local_ba_dispatch"):
-                self._local_ba(kf, defer=self.async_mapping)
-        self.mark_map_dirty()
+        while self._map_jobs:
+            kf, tri_job, fuse_job, t_disp = self._map_jobs[0]
+            if not force:
+                now = time.monotonic()
+                if (
+                    now - t_disp < 0.05
+                    or now < getattr(self, "_jobs_next_poll", 0.0)
+                ):
+                    return
+                for job in (tri_job, fuse_job):
+                    if job is None:
+                        continue
+                    try:
+                        if not job["packed"].is_ready():
+                            self._jobs_next_poll = now + 0.1
+                            return
+                    except AttributeError:
+                        pass
+            self._map_jobs.pop(0)
+            with self.timing.stage("map_jobs_apply"):
+                tri_ids = apply_triangulation(self.map, tri_job)
+                if len(tri_ids):
+                    self.recent_lm.append(tri_ids)
+                apply_fuse(self.map, fuse_job)
+            if self.map.n_keyframes() >= 3 and not self.localization_only:
+                # One local BA in flight at a time: join the previous
+                # solve (dispatched a full keyframe interval ago —
+                # essentially always finished) before the next.
+                if self._pending_ba is not None:
+                    self.flush_pending_ba()
+                center = kf if self.map.kf_valid[kf] else self.ref_kf
+                with self.timing.stage("local_ba_dispatch"):
+                    self._local_ba(center, defer=self.async_mapping)
+            self.mark_map_dirty()
+            if not force:
+                return

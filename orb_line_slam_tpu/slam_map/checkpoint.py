@@ -20,11 +20,12 @@ from .map_store import MapStore
 _ARRAYS = [
     "kf_valid", "kf_R", "kf_t", "kf_frame_id", "kf_timestamp", "kf_parent",
     "kf_xy", "kf_ur", "kf_depth", "kf_oct", "kf_angle", "kf_desc",
-    "kf_feat_valid", "kf_obs_lm",
+    "kf_feat_valid", "kf_obs_lm", "kf_gen",
     "pt_valid", "pt_pos", "pt_desc", "pt_normal", "pt_min_dist",
     "pt_max_dist", "pt_oct", "pt_first_kf", "pt_visible", "pt_found",
+    "pt_gen",
     "ln_valid", "ln_start", "ln_end", "ln_desc", "ln_first_kf",
-    "ln_visible", "ln_found",
+    "ln_visible", "ln_found", "ln_gen",
 ]
 _LINE_ARRAYS = ["kf_ln_p0", "kf_ln_p1", "kf_ln_desc", "kf_ln_valid", "kf_ln_obs"]
 
@@ -48,11 +49,15 @@ def load_map(path: str | Path) -> MapStore:
     K, P, F, L, Lf = (int(v) for v in z["_caps"])
     cfg = MapConfig(max_keyframes=K, max_points=P, max_lines=L)
     store = MapStore(cfg, F, n_lines=Lf)
+    # Arrays absent from older checkpoints keep their constructor
+    # defaults (kf_parent=-1, counters 0) — forward-compatible load.
     for name in _ARRAYS:
-        getattr(store, name)[...] = z[name]
+        if name in z.files:
+            getattr(store, name)[...] = z[name]
     if Lf:
         for name in _LINE_ARRAYS:
-            getattr(store, name)[...] = z[name]
+            if name in z.files:
+                getattr(store, name)[...] = z[name]
     store._next_kf = int(z["_next_kf"])
     store._free_pts = [int(i) for i in z["_free_pts"]]
     store._free_lines = [int(i) for i in z["_free_lines"]]

@@ -103,7 +103,7 @@ def fuse_into_keyframe(store, lm_ids: np.ndarray, k: int, cam, level_scales,
     return int(len(lm))
 
 
-def _apply_matches(store, k: int, lm_ids, mask, idx) -> int:
+def _apply_matches(store, k: int, lm_ids, mask, idx, lm_gens=None) -> int:
     """Apply projection-search matches into keyframe k: bind free slots,
     batch-merge duplicates into the better-observed landmark."""
     rows = np.nonzero(mask)[0]
@@ -113,6 +113,9 @@ def _apply_matches(store, k: int, lm_ids, mask, idx) -> int:
     lm = lm_ids[rows].astype(np.int64)
     feat = idx[rows].astype(np.int64)
     live = store.pt_valid[lm] & store.kf_valid[k]
+    if lm_gens is not None:
+        # Landmark slots recycled since dispatch are different points.
+        live &= store.pt_gen[lm] == lm_gens[rows]
     lm, feat = lm[live], feat[live]
     existing = store.kf_obs_lm[k, feat].astype(np.int64)
     changed = existing != lm
@@ -249,6 +252,10 @@ def dispatch_fuse(store, kf: int, neighbor_ids, cam, level_scales,
     return {
         "kf": kf, "neighbors": neighbor_ids, "own": own_p, "n_own": len(own),
         "pool": pool_p, "n_pool": len(pooled), "packed": packed,
+        "kf_gen": int(store.kf_gen[kf]),
+        "nb_gens": [int(store.kf_gen[k2]) for k2 in neighbor_ids],
+        "own_gens": store.pt_gen[own_p].copy(),
+        "pool_gens": store.pt_gen[pool_p].copy(),
     }
 
 
@@ -262,16 +269,18 @@ def apply_fuse(store, job) -> int:
     rev = buf[Nn * OC :]
     total = 0
     own = job["own"][: job["n_own"]]
+    own_g = job["own_gens"][: job["n_own"]]
     for i, k2 in enumerate(job["neighbors"]):
-        if not store.kf_valid[k2]:
+        if not store.kf_valid[k2] or store.kf_gen[k2] != job["nb_gens"][i]:
             continue
         idx = fwd[i, : job["n_own"]]
-        total += _apply_matches(store, k2, own, idx >= 0, idx)
+        total += _apply_matches(store, k2, own, idx >= 0, idx, own_g)
     kf = job["kf"]
-    if store.kf_valid[kf]:
+    if store.kf_valid[kf] and store.kf_gen[kf] == job["kf_gen"]:
         pool = job["pool"][: job["n_pool"]]
         idx = rev[: job["n_pool"]]
-        total += _apply_matches(store, kf, pool, idx >= 0, idx)
+        total += _apply_matches(store, kf, pool, idx >= 0, idx,
+                                job["pool_gens"][: job["n_pool"]])
         if total:
             own2 = store.kf_obs_lm[kf]
             store.update_point_stats(np.unique(own2[own2 >= 0]))

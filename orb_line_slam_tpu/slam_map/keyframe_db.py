@@ -22,6 +22,16 @@ class KeyFrameDatabase:
 
     def add(self, kf_id: int, descs, valid):
         ids, w = self.voc.bow_vector(descs, valid)
+        self.add_bow(kf_id, ids, w)
+
+    def add_words(self, kf_id: int, words, valid):
+        """Insert from pre-resolved leaf words (async BoW transform)."""
+        ids, w = self.voc.bow_from_words(words, valid, self.voc.word_weight)
+        self.add_bow(kf_id, ids, w)
+
+    def add_bow(self, kf_id: int, ids, w):
+        if kf_id in self.bow:
+            self.erase(kf_id)  # recycled slot: drop the dead KF's words
         self.bow[kf_id] = (ids, w)
         for word in ids:
             self.inverted.setdefault(int(word), []).append(kf_id)
@@ -63,8 +73,14 @@ class KeyFrameDatabase:
         if not scored:
             return []
         # Accumulate scores over each candidate's covisibility group.
+        # covis_groups may be a callable k -> set (computed lazily for
+        # the surviving candidates only — building groups for every
+        # database keyframe is O(K^2) host work per detection).
         if covis_groups is None:
             covis_groups = {k: {k} for k, _ in scored}
+        elif callable(covis_groups):
+            fn = covis_groups
+            covis_groups = {k: fn(k) for k, _ in scored}
         acc = []
         for k, s in scored:
             group = covis_groups.get(k, {k})

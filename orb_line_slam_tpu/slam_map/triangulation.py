@@ -169,7 +169,11 @@ def dispatch_triangulation(store, kf_id, neighbor_ids, cam, scale_factor=1.2,
         jnp.asarray(pv),
         cam, scale_factor,
     )
-    return {"kf": kf_id, "pairs": pairs, "packed": packed}
+    return {
+        "kf": kf_id, "pairs": pairs, "packed": packed,
+        "kf_gen": int(store.kf_gen[kf_id]),
+        "pair_gens": [int(store.kf_gen[k2]) for k2 in pairs],
+    }
 
 
 def apply_triangulation(store, job, max_new=256):
@@ -178,11 +182,13 @@ def apply_triangulation(store, job, max_new=256):
     if job is None:
         return np.asarray([], np.int32)
     kf_id = job["kf"]
+    if not store.kf_valid[kf_id] or store.kf_gen[kf_id] != job["kf_gen"]:
+        return np.asarray([], np.int32)  # culled + recycled since dispatch
     buf = np.asarray(job["packed"])  # [Nn, N, 5]
     created = []
     avail1 = store.kf_feat_valid[kf_id] & (store.kf_obs_lm[kf_id] < 0)
     for i, k2 in enumerate(job["pairs"]):
-        if not store.kf_valid[k2]:
+        if not store.kf_valid[k2] or store.kf_gen[k2] != job["pair_gens"][i]:
             continue
         idx = buf[i, :, 0].astype(np.int32)
         good = (buf[i, :, 1] > 0.5) & avail1

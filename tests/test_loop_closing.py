@@ -112,7 +112,9 @@ def test_loop_detection_and_correction():
     closed_at = None
     for k in range(store._next_kf):
         if lc.process_keyframe(k, run_gba=False):
-            closed_at = k
+            closed_at = lc.last_closed_kf
+    if closed_at is None and lc.flush(run_gba=False):
+        closed_at = lc.last_closed_kf
     assert closed_at is not None, "loop never closed"
     assert closed_at >= 10
 
