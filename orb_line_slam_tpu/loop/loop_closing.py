@@ -210,8 +210,7 @@ class LoopCloser:
             jnp.asarray(store.kf_desc[cand]), jnp.asarray(v_cand),
             max_dist=50, ratio=0.75,
         )
-        mask = np.asarray(m.mask)
-        idx = np.asarray(m.idx)
+        mask, idx = jax.device_get((m.mask, m.idx))  # one fetch round-trip
         if mask.sum() < 20:
             return False, None
 
@@ -308,9 +307,10 @@ class LoopCloser:
             jnp.asarray(store.kf_oct[cand]),
             jnp.asarray(m_cand), cam, scales,
         )
-        idxA = np.asarray(mA.idx)   # cand row -> cur row
-        idxB = np.asarray(mB.idx)   # cur row -> cand row
-        cand_rows = np.nonzero(np.asarray(mA.mask))[0]
+        # One fetch for both guided searches (each np.asarray would be
+        # its own ~25 ms tunnel round-trip).
+        idxA, idxB, maskA = jax.device_get((mA.idx, mB.idx, mA.mask))
+        cand_rows = np.nonzero(maskA)[0]
         cur_of = idxA[cand_rows]
         mutual = (cur_of >= 0) & (idxB[np.clip(cur_of, 0, None)] == cand_rows)
         pairs_cur = cur_of[mutual]

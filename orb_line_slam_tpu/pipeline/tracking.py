@@ -937,27 +937,6 @@ class Tracker:
             self.map.cull_points(kf, old)
         if len(self.recent_ln) > 3:
             self.map.cull_lines(kf, self.recent_ln.pop(0))
-        # Multi-view triangulation (CreateNewMapPoints) + cross-KF
-        # duplicate fusion (SearchInNeighbors): ONE batched device
-        # program each, dispatched now, applied by poll_map_jobs when
-        # the device finishes (the reference's LocalMapping lag).
-        if self.map.n_keyframes() >= 2:
-            from ..slam_map.fuse import dispatch_fuse
-            from ..slam_map.triangulation import dispatch_triangulation
-
-            with self.timing.stage("map_jobs_dispatch"):
-                ids, _ = self.map.covisible_keyframes(kf, min_weight=10, max_n=5)
-                tri_job = dispatch_triangulation(
-                    self.map, kf, ids, cfg.camera, cfg.orb.scale_factor,
-                    kf_frames=self._kf_frames,
-                )
-                fuse_job = dispatch_fuse(
-                    self.map, kf, ids, cfg.camera, cfg.orb.level_scales,
-                    kf_frames=self._kf_frames,
-                )
-            self._map_jobs.append((kf, tri_job, fuse_job, time.monotonic()))
-            if not self.async_mapping:
-                self.poll_map_jobs(force=True)
         if self.map.n_keyframes() >= 3:
             if not self.async_mapping and self._pending_ba is not None:
                 self.flush_pending_ba()
@@ -975,6 +954,13 @@ class Tracker:
         self.ref_kf_matches = max(
             n_inliers or int((fh.valid & (assoc >= 0)).sum()), 40
         )
+
+        # Loop closing runs BEFORE the mapping-chain dispatch: its small
+        # device programs (BoW descent, Sim3 stages) would otherwise
+        # queue behind ~300 ms of triangulation/fuse/BA work, turning
+        # each of its fetches into a long stall.  Any loop correction
+        # also lands before the chain is built, so the chain sees
+        # corrected poses.
         if self.on_keyframe is not None:
             R_before = self.map.kf_R[kf].copy()
             t_before = self.map.kf_t[kf].copy()
@@ -996,6 +982,31 @@ class Tracker:
                 self._carry = None
                 self.last_frame = e.frame
                 self._drain_required = True
+
+        # Multi-view triangulation (CreateNewMapPoints) + cross-KF
+        # duplicate fusion (SearchInNeighbors): ONE batched device
+        # program each, dispatched now, applied by poll_map_jobs when
+        # the device finishes (the reference's LocalMapping lag).
+        if self.map.n_keyframes() >= 2:
+            from ..slam_map.fuse import dispatch_fuse
+            from ..slam_map.triangulation import dispatch_triangulation
+
+            with self.timing.stage("map_jobs_dispatch"):
+                # 3 neighbours: the 4th/5th covisible KF contributes <5%
+                # new triangulations but each pair costs ~18 ms of
+                # [N,N] epipolar+Hamming device traffic.
+                ids, _ = self.map.covisible_keyframes(kf, min_weight=10, max_n=3)
+                tri_job = dispatch_triangulation(
+                    self.map, kf, ids, cfg.camera, cfg.orb.scale_factor,
+                    kf_frames=self._kf_frames,
+                )
+                fuse_job = dispatch_fuse(
+                    self.map, kf, ids, cfg.camera, cfg.orb.level_scales,
+                    kf_frames=self._kf_frames,
+                )
+            self._map_jobs.append((kf, tri_job, fuse_job, time.monotonic()))
+            if not self.async_mapping:
+                self.poll_map_jobs(force=True)
         self.mark_map_dirty()
         self.timing.add("kf_event_total", time.perf_counter() - _t0)
 

@@ -139,8 +139,8 @@ def _apply_matches(store, k: int, lm_ids, mask, idx, lm_gens=None) -> int:
 
 
 FUSE_OWN_CAP = 2048
-FUSE_POOL_CAP = 8192
-FUSE_NN = 5
+FUSE_POOL_CAP = 4096
+FUSE_NN = 3
 
 
 def _pad_ids(ids, cap):

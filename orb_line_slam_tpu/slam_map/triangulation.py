@@ -126,7 +126,7 @@ def triangulate_batch(
 
 
 def dispatch_triangulation(store, kf_id, neighbor_ids, cam, scale_factor=1.2,
-                           kf_frames=None, n_pairs=5):
+                           kf_frames=None, n_pairs=3):
     """Dispatch the batched triangulation program (no fetch). Returns a
     job consumed by apply_triangulation, or None.  Keyframe feature
     tables reuse cached per-KF device frames when available — the only
