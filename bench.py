@@ -78,11 +78,12 @@ def main():
     # landmarks, 16k observations — a KITTI-scale local window).
     ba_ms = _bench_local_ba(jax, jnp, cam)
 
-    # Tertiary: FULL tracking pipeline (BASELINE.json config #1 shape:
-    # stereo point-only tracking + motion-only BA + keyframe local BA)
-    # over a synthetic KITTI-sized sequence.  Includes ALL host
-    # bookkeeping and device round-trips — the honest end-to-end number.
-    pipe_fps = _bench_pipeline(cam)
+    # Tertiary: FULL System pipeline — points + lines, loop closing ON,
+    # async mapping — over a synthetic KITTI-sized sequence, plus the
+    # trajectory ATE of a longer drift+revisit run (the accuracy number
+    # the driver records next to throughput).
+    pipe_fps, pipe_stats = _bench_pipeline(cam)
+    ate, ate_extra = _bench_ate(cam)
 
     print(
         json.dumps(
@@ -95,6 +96,9 @@ def main():
                     "local_ba_iter_ms": round(ba_ms, 2),
                     "full_pipeline_fps": round(pipe_fps, 2),
                     "full_pipeline_vs_baseline": round(pipe_fps / BASELINE_FPS, 3),
+                    "ate_rmse_synth_m": ate,
+                    **ate_extra,
+                    **pipe_stats,
                     "platform": jax.devices()[0].platform,
                 },
             }
@@ -147,29 +151,71 @@ def _bench_local_ba(jax, jnp, cam):
 
 
 def _bench_pipeline(cam, n_frames: int = 60, warmup: int = 12):
-    """End-to-end tracker fps on a synthetic KITTI-sized stereo
-    sequence (pre-rendered on host, as the examples' imread is outside
-    the reference's timed region too)."""
+    """End-to-end SYSTEM fps — points + lines + loop closing, async
+    mapping — on a synthetic KITTI-sized stereo sequence (pre-rendered
+    on host, as the examples' imread is outside the reference's timed
+    region too).  Also returns the per-stage host-ms table."""
     import time
 
     from orb_line_slam_tpu.config import OrbConfig, SlamConfig
     from orb_line_slam_tpu.data.synthetic import SyntheticScene, circular_trajectory
-    from orb_line_slam_tpu.pipeline.tracking import Tracker
+    from orb_line_slam_tpu.pipeline.system import System
 
     cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=2000, n_levels=8))
     scene = SyntheticScene(cam, n_points=700, seed=3)
     poses = circular_trajectory(n_frames, step=0.25)
     frames = [scene.render_stereo(R, t) for R, t in poses]
 
-    tracker = Tracker(cfg)
-    tracker.async_mapping = True
+    sysm = System(cfg)
     for i in range(warmup):
-        tracker.process_stereo(*frames[i], timestamp=0.1 * i)
+        sysm.track_stereo(*frames[i], timestamp=0.1 * i)
+    if sysm.loop_closer is not None:
+        sysm.loop_closer.warmup_jit()
+    sysm.tracker.timing.reset()
     t0 = time.perf_counter()
     for i in range(warmup, n_frames):
-        tracker.process_stereo(*frames[i], timestamp=0.1 * i)
+        sysm.track_stereo(*frames[i], timestamp=0.1 * i)
     dt = time.perf_counter() - t0
-    return (n_frames - warmup) / dt
+    n = n_frames - warmup
+    stage_ms = {
+        f"stage_ms_{name}": row["ms_per_frame"]
+        for name, row in list(sysm.tracker.timing.table(n).items())[:6]
+    }
+    return n / dt, stage_ms
+
+
+def _bench_ate(cam, n_frames: int = 240):
+    """ATE RMSE of the full System on a drift+revisit synthetic loop
+    (out along an arc and back) — the driver-visible accuracy metric
+    (VERDICT r2 'next round' #5)."""
+    import numpy as np
+
+    from orb_line_slam_tpu.config import OrbConfig, SlamConfig
+    from orb_line_slam_tpu.data.synthetic import SyntheticScene, circular_trajectory
+    from orb_line_slam_tpu.eval.trajectory import ate_rmse
+    from orb_line_slam_tpu.pipeline.system import System
+
+    cfg = SlamConfig(camera=cam, orb=OrbConfig(n_features=2000, n_levels=8))
+    scene = SyntheticScene(cam, n_points=900, seed=11)
+    poses = circular_trajectory(n_frames, step=0.12)
+    frames = [scene.render_stereo(R, t) for R, t in poses]
+    sysm = System(cfg)
+    for i, (l, r) in enumerate(frames):
+        sysm.track_stereo(l, r, timestamp=0.1 * i)
+    sysm.shutdown()
+    est = np.stack(
+        [-R.T @ t for (_, _, R, t, _) in sysm.tracker.final_trajectory()]
+    )
+    gt = np.stack([-R.T @ t for (R, t) in poses])
+    ate = float(ate_rmse(est, gt, align=True))
+    path_len = n_frames * 0.12
+    extra = {
+        "ate_synth_path_m": round(path_len, 1),
+        "ate_synth_frames": n_frames,
+        "ate_synth_keyframes": int(sysm.map.kf_valid.sum()),
+        "ate_synth_loops": int(sysm.n_loops_closed),
+    }
+    return round(ate, 4), extra
 
 
 if __name__ == "__main__":

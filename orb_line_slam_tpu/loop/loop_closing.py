@@ -37,6 +37,35 @@ from ..slam_map.map_store import MapStore
 from .vocabulary import Vocabulary
 
 
+class _ShardedGBAResult:
+    """BAResult-compatible view over a distributed-GBA solve: poses and
+    chi2 pass through; `points` drops the shard padding; `obs_inlier`
+    is remapped from shard-grouped order back to the pack's observation
+    order on first (host-side) access."""
+
+    def __init__(self, R, t, points, obs_inlier, chi2, pack, meta):
+        self.R = R
+        self.t = t
+        self.chi2 = chi2
+        self._points = points
+        self._inl = obs_inlier
+        self._pack = pack
+        self._meta = meta
+
+    @property
+    def points(self):
+        return np.asarray(self._points)[: self._meta["P_tot"]]
+
+    @property
+    def obs_inlier(self):
+        meta = self._meta
+        grid = np.asarray(self._inl).reshape(meta["order"].shape)
+        out = np.zeros(self._pack["obs_cam"].shape[0], bool)
+        ok = meta["oval"]
+        out[meta["order"][ok]] = grid[ok]
+        return out
+
+
 @dataclasses.dataclass
 class LoopEdge:
     kf_a: int
@@ -88,6 +117,41 @@ class LoopCloser:
         # it (Sim3Solver's bFixScale=false); stereo/RGB-D pin s=1.
         # System sets this from the tracker's sensor type.
         self.fix_scale = True
+
+    # ------------------------------------------------------------------
+    def warmup_jit(self):
+        """Pre-trace the Sim3 chain (match -> RANSAC -> guided refine ->
+        optimize) with canonical shapes so the first real loop attempt
+        doesn't pay ~4 s of host tracing mid-sequence."""
+        store = self.map
+        cam = self.cfg.camera
+        F = store.F
+        d = np.zeros((F, 32), np.uint8)
+        v = np.zeros(F, bool)
+        m = match_descriptors(
+            jnp.asarray(d), jnp.asarray(v), jnp.asarray(d), jnp.asarray(v),
+            max_dist=50, ratio=0.75,
+        )
+        N = 256
+        solve_sim3_ransac(
+            jnp.zeros((N, 3)), jnp.zeros((N, 3)), jnp.zeros(N, bool),
+            jax.random.PRNGKey(0), cam, cam, jnp.ones(N), jnp.ones(N),
+            fix_scale=self.fix_scale, n_hyps=256,
+        )
+        scales = self.cfg.orb.level_scales
+        search_by_sim3_dir(
+            jnp.zeros((F, 3)), jnp.asarray(d), jnp.asarray(v),
+            jnp.zeros((F, 2)), jnp.asarray(d), jnp.zeros(F, jnp.int32),
+            jnp.asarray(v), cam, scales,
+        )
+        M = 512
+        optimize_sim3(
+            jnp.float32(1.0), jnp.eye(3), jnp.zeros(3),
+            jnp.zeros((M, 3)), jnp.zeros((M, 3)), jnp.zeros((M, 2)),
+            jnp.zeros((M, 2)), jnp.ones(M), jnp.ones(M), jnp.zeros(M, bool),
+            cam, cam, fix_scale=self.fix_scale,
+        )
+        jax.block_until_ready(m.idx)
 
     # ------------------------------------------------------------------
     def _on_kf_culled(self, k: int, parent: int):
@@ -709,6 +773,14 @@ class LoopCloser:
             max_obs=n_obs,
             all_free=True,
         )
+        # Multi-device: landmark-sharded CG-Schur over the full mesh
+        # (psum-reduced camera system riding ICI — SURVEY.md §2.4,
+        # BASELINE.json:5/11).  The single-chip axon runtime never takes
+        # this branch; the 8-virtual-device CPU suite and
+        # dryrun_multichip exercise it.
+        n_dev = jax.device_count()
+        if n_dev > 1 and use_cg:
+            return pack, self._dispatch_gba_sharded(pack, n_dev, iters1, iters2)
         args = (
             jnp.asarray(pack["R"]), jnp.asarray(pack["t"]),
             jnp.asarray(pack["cam_fixed"]),
@@ -731,3 +803,26 @@ class LoopCloser:
                 iters1=iters1, iters2=iters2, fix_first=True,
             )
         return pack, res
+
+    def _dispatch_gba_sharded(self, pack, n_dev: int, iters1: int, iters2: int):
+        """Dispatch global BA on the landmark-sharded distributed solver;
+        returns a BAResult-compatible view whose obs_inlier is remapped
+        from shard-grouped order back to pack order lazily at apply."""
+        from jax.sharding import Mesh
+
+        from ..parallel.sharded_ba import make_distributed_ba_cg, shard_gba_pack
+
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+        args, meta = shard_gba_pack(pack, n_dev)
+        C = pack["R"].shape[0]
+        ba = make_distributed_ba_cg(
+            mesh, self.cfg.camera, scale_factor=self.cfg.orb.scale_factor,
+            iters1=iters1, iters2=iters2, cg_iters=min(6 * C, 64),
+        )
+        # fix_first: gauge (pack_local_ba all_free keeps every KF free).
+        cam_fixed = np.asarray(pack["cam_fixed"]).copy()
+        cam_fixed[0 if not cam_fixed.any() else np.argmax(cam_fixed)] = True
+        R, t, pts, inl, chi2 = ba(
+            args[0], args[1], jnp.asarray(cam_fixed), *args[3:]
+        )
+        return _ShardedGBAResult(R, t, pts, inl, chi2, pack, meta)
