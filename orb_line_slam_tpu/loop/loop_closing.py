@@ -703,13 +703,26 @@ class LoopCloser:
             t_rel = old_t[k] - R_rel @ old_t[p]
             store.kf_R[k] = (R_rel @ store.kf_R[p]).astype(np.float32)
             store.kf_t[k] = (R_rel @ store.kf_t[p] + t_rel).astype(np.float32)
+        # Joint point+line solves carry optimized line geometry.
+        lpack = pack.get("_lpack")
+        skip_lines = None
+        if lpack is not None and hasattr(res, "line_U"):
+            store.apply_line_ba_result(
+                lpack, np.asarray(res.line_U), np.asarray(res.line_w),
+                np.asarray(res.lobs_inlier),
+            )
+            skip_lines = np.zeros(store.L, bool)
+            skip_lines[lpack["ln_ids"]] = True
         # Landmarks outside the solved problem ride their first KF.
         in_pack = np.zeros(store.P, bool)
         in_pack[pack["lm_ids"]] = True
-        self._ride_first_kf(old_R, old_t, Kn, skip_points=in_pack)
+        self._ride_first_kf(
+            old_R, old_t, Kn, skip_points=in_pack, skip_lines=skip_lines
+        )
         store.mark_all_pts_dirty()
 
-    def _ride_first_kf(self, old_R, old_t, Kn, skip_points=None):
+    def _ride_first_kf(self, old_R, old_t, Kn, skip_points=None,
+                       skip_lines=None):
         """Re-anchor landmarks to their first keyframe's corrected pose:
         x_new = T_fk_new^-1 (T_fk_old x_old).  Applied to points (unless
         masked) and to ALL line endpoints (lines are not variables in
@@ -734,6 +747,8 @@ class LoopCloser:
             ride(store.pt_pos, pt_ids[ok], fk[ok])
 
         ln_ids = np.nonzero(store.ln_valid)[0]
+        if skip_lines is not None:
+            ln_ids = ln_ids[~skip_lines[ln_ids]]
         lfk = store.ln_first_kf[ln_ids]
         ok = (lfk >= 0) & (lfk < Kn) & store.kf_valid[np.clip(lfk, 0, Kn - 1)]
         if ok.any():
@@ -797,11 +812,54 @@ class LoopCloser:
                 iters1=iters1, iters2=iters2, fix_first=True,
                 cg_iters=min(6 * n_cams, 64),
             )
-        else:
-            res = bundle_adjust(
-                *args, self.cfg.orb.scale_factor,
-                iters1=iters1, iters2=iters2, fix_first=True,
+            return pack, res
+        # Dense path: when the map carries line landmarks, global BA
+        # optimizes them jointly (the reference's GlobalBundleAdjustemnt
+        # includes MapLine vertices — arXiv:1711.08654 §III-C); the CG
+        # path still rides lines on their first keyframe's motion.
+        lpack = None
+        if store.Lf and bool(store.ln_valid.any()):
+            lpack = store.pack_line_obs(
+                pack["cam_ids"], max_lines=self.cfg.map.max_lines,
+                max_lobs=self.cfg.map.max_lines * 8,
             )
+        if lpack is not None:
+            from ..backend.line_ba import bundle_adjust_pl
+            from ..geometry.host import (
+                northonormal_from_pluecker,
+                npluecker_from_endpoints,
+            )
+
+            ids_l = lpack["ln_ids"]
+            Lc = self.cfg.map.max_lines
+            s_w = np.zeros((Lc, 3), np.float32)
+            e_w = np.ones((Lc, 3), np.float32)
+            lval = np.zeros(Lc, bool)
+            s_w[: len(ids_l)] = store.ln_start[ids_l]
+            e_w[: len(ids_l)] = store.ln_end[ids_l]
+            lval[: len(ids_l)] = True
+            U0, w0 = northonormal_from_pluecker(
+                *npluecker_from_endpoints(s_w, e_w)
+            )
+            fixed0 = np.asarray(pack["cam_fixed"]).copy()
+            fixed0[0] = True
+            res = bundle_adjust_pl(
+                args[0], args[1], jnp.asarray(fixed0),
+                *args[3:10],
+                jnp.asarray(U0), jnp.asarray(w0), jnp.asarray(lval),
+                jnp.asarray(lpack["lobs_cam"]), jnp.asarray(lpack["lobs_ln"]),
+                jnp.asarray(lpack["lobs_a"]), jnp.asarray(lpack["lobs_b"]),
+                jnp.zeros(len(lpack["lobs_cam"]), jnp.int32),
+                jnp.asarray(lpack["lobs_valid"]),
+                self.cfg.camera, self.cfg.orb.scale_factor,
+                iters1=iters1, iters2=iters2,
+            )
+            pack["_lpack"] = lpack
+            return pack, res
+        res = bundle_adjust(
+            *args, self.cfg.orb.scale_factor,
+            iters1=iters1, iters2=iters2, fix_first=True,
+        )
         return pack, res
 
     def _dispatch_gba_sharded(self, pack, n_dev: int, iters1: int, iters2: int):

@@ -117,7 +117,7 @@ def mirror_apply(mir: MapMirror, delta_u32) -> MapMirror:
 def unpack_kf_event(buf: np.ndarray, N: int, Lcap: int, cap: int):
     """Split the single packed keyframe-event fetch back into host
     arrays. Returns (frame_host, assoc, inliers, ln_idx, ln_mask,
-    found, vis)."""
+    found, vis, ln_found, ln_vis)."""
     from ..frontend.frame import Frame
 
     o = 0
@@ -142,6 +142,8 @@ def unpack_kf_event(buf: np.ndarray, N: int, Lcap: int, cap: int):
     ln_mask = take(Lcap) > 0.5
     found = take(cap).astype(np.int32)
     vis = take(cap).astype(np.int32)
+    ln_found = take(Lcap).astype(np.int32)
+    ln_vis = take(Lcap).astype(np.int32)
     fh = Frame(xy=xy, response=response, angle=angle, octave=octave,
                desc=desc, valid=valid, u_right=ur, depth=depth)
-    return fh, assoc, inliers, ln_idx, ln_mask, found, vis
+    return fh, assoc, inliers, ln_idx, ln_mask, found, vis, ln_found, ln_vis

@@ -91,6 +91,8 @@ class TrackOut(NamedTuple):
     inliers: jnp.ndarray        # bool [N] pose-opt-2 point inliers
     found_acc: jnp.ndarray      # int32 [cap] per-snapshot found counter (carry)
     vis_acc: jnp.ndarray        # int32 [cap] per-snapshot visible counter (carry)
+    ln_found_acc: jnp.ndarray   # int32 [Lcap] per-mirror-line found (carry)
+    ln_vis_acc: jnp.ndarray     # int32 [Lcap] per-mirror-line visible (carry)
     ln_match_idx: jnp.ndarray   # int32 [Lcap] map line -> frame line row
     ln_match_mask: jnp.ndarray  # bool [Lcap]
     packed: jnp.ndarray         # float32 [19] — the ONLY per-frame fetch:
@@ -120,6 +122,8 @@ def track_step(
     snap_ids,
     # Per-snapshot found/visible accumulators (device carries):
     found_acc, vis_acc,
+    # Per-mirror-line found/visible accumulators (device carries):
+    ln_found_acc, ln_vis_acc,
     # Lines (dummy [8]-arrays when has_lines=False):
     lf,                          # LineFeatures pytree or None
     ln_start, ln_end, ln_desc, ln_valid,
@@ -329,6 +333,27 @@ def track_step(
     found_acc2 = found_acc + found_hit.astype(jnp.int32)
     vis_acc2 = vis_acc + visible_snap.astype(jnp.int32)
 
+    # Line landmark statistics (MapLine IncreaseFound/IncreaseVisible,
+    # SURVEY.md §2.1 row 8): visible = both endpoints project in front
+    # of the final pose into the image; found = matched this frame AND
+    # survived the joint optimization's line chi2 gate.
+    if has_lines:
+        mid = 0.5 * (ln_start + ln_end)
+        xm = se3_apply(res2.R, res2.t, mid)
+        uvm = project_stereo(cam, xm)
+        ln_visible = (
+            ln_valid
+            & (xm[:, 2] > 0.1)
+            & (uvm[:, 0] >= 0) & (uvm[:, 0] < cam.width)
+            & (uvm[:, 1] >= 0) & (uvm[:, 1] < cam.height)
+        )
+        ln_found = ln_match_mask & ln_valid & res2.line_inliers
+        ln_found_acc2 = ln_found_acc + ln_found.astype(jnp.int32)
+        ln_vis_acc2 = ln_vis_acc + ln_visible.astype(jnp.int32)
+    else:
+        ln_found_acc2 = ln_found_acc
+        ln_vis_acc2 = ln_vis_acc
+
     f32 = lambda x: jnp.asarray(x, jnp.float32).reshape(-1)  # noqa: E731
     packed = jnp.concatenate([
         f32(R_out), f32(t_out), f32(ok), f32(res2.n_inliers), f32(use_mm),
@@ -339,23 +364,29 @@ def track_step(
         R=R_out, t=t_out, Rv=Rv_out, tv=tv_out, ok=ok,
         assoc_gid=gid_out, inliers=res2.inliers,
         found_acc=found_acc2, vis_acc=vis_acc2,
+        ln_found_acc=ln_found_acc2, ln_vis_acc=ln_vis_acc2,
         ln_match_idx=ln_match_idx, ln_match_mask=ln_match_mask,
         packed=packed,
     )
 
 
 @jax.jit
-def remap_stats(out: TrackOut, remap) -> TrackOut:
+def remap_stats(out: TrackOut, remap, ln_remap) -> TrackOut:
     """Re-index the found/visible accumulator carries when the local-map
     snapshot changes between keyframe events (mid-interval mirror
     refreshes after async BA/fuse applies): new slot j takes old slot
     remap[j]'s count (-1 -> 0).  Without this, counts accumulated
     against the old snapshot would be credited to whatever landmark now
     occupies the slot (ADVICE r2 #1)."""
-    def take(a):
-        return jnp.where(remap >= 0, a[jnp.clip(remap, 0, None)], 0)
+    def take(a, r):
+        return jnp.where(r >= 0, a[jnp.clip(r, 0, None)], 0)
 
-    return out._replace(found_acc=take(out.found_acc), vis_acc=take(out.vis_acc))
+    return out._replace(
+        found_acc=take(out.found_acc, remap),
+        vis_acc=take(out.vis_acc, remap),
+        ln_found_acc=take(out.ln_found_acc, ln_remap),
+        ln_vis_acc=take(out.ln_vis_acc, ln_remap),
+    )
 
 
 @jax.jit
@@ -365,6 +396,8 @@ def zero_stats(out: TrackOut) -> TrackOut:
     return out._replace(
         found_acc=jnp.zeros_like(out.found_acc),
         vis_acc=jnp.zeros_like(out.vis_acc),
+        ln_found_acc=jnp.zeros_like(out.ln_found_acc),
+        ln_vis_acc=jnp.zeros_like(out.ln_vis_acc),
     )
 
 
@@ -395,4 +428,5 @@ def pack_kf_event(frame, out: TrackOut):
         f32(out.assoc_gid), f32(out.inliers),
         f32(out.ln_match_idx), f32(out.ln_match_mask),
         f32(out.found_acc), f32(out.vis_acc),
+        f32(out.ln_found_acc), f32(out.ln_vis_acc),
     ])

@@ -369,12 +369,17 @@ class Tracker:
         mir = self._mir
         has_lines = mir["has_lines"] and lines is not None
 
+        Lcap = mir["ln_valid"].shape[0]
         if self._carry is not None:
             last_frame, prev = self._carry
             last_gid = prev.assoc_gid
             Rv, tv, hv = prev.Rv, prev.tv, prev.ok
             R_last, t_last = prev.R, prev.t
             found, vis = prev.found_acc, prev.vis_acc
+            ln_found, ln_vis = prev.ln_found_acc, prev.ln_vis_acc
+            if ln_found.shape[0] != Lcap:  # line capacity switched
+                ln_found = jnp.zeros(Lcap, jnp.int32)
+                ln_vis = jnp.zeros(Lcap, jnp.int32)
         else:
             # Cold start after init / intervention: host uploads; path A
             # is disabled for one frame (no velocity), so the stale
@@ -389,6 +394,8 @@ class Tracker:
             cap = mir["snap_ids"].shape[0]
             found = jnp.zeros(cap, jnp.int32)
             vis = jnp.zeros(cap, jnp.int32)
+            ln_found = jnp.zeros(Lcap, jnp.int32)
+            ln_vis = jnp.zeros(Lcap, jnp.int32)
 
         out = track_step(
             frame, last_frame,
@@ -396,6 +403,7 @@ class Tracker:
             Rv, tv, R_last, t_last, hv,
             mir["ref_xy"], mir["ref_desc"], mir["ref_angle"], mir["ref_slots"],
             mir["snap_ids"], found, vis,
+            ln_found, ln_vis,
             lines if has_lines else None,
             mir["ln_start"], mir["ln_end"], mir["ln_desc"], mir["ln_valid"],
             cfg=self.cfg, has_lines=has_lines,
@@ -522,23 +530,6 @@ class Tracker:
         snap_ids = np.full(cap, -1, np.int32)
         snap_ids[: len(lm)] = lm
 
-        # The snapshot is changing: re-index the in-flight found/visible
-        # accumulator carries from old slots to new (device-side remap,
-        # no fetch) so counts stay attributed to the same landmarks.
-        if self._carry is not None and self._mir is not None:
-            old = self._mir["snap_host"]
-            if not (len(old) == len(lm) and np.array_equal(old, lm)):
-                from .track_step import remap_stats
-
-                lookup = np.full(m.P, -1, np.int32)
-                lookup[old] = np.arange(len(old), dtype=np.int32)
-                remap = np.full(cap, -1, np.int32)
-                remap[: len(lm)] = lookup[lm]
-                self._carry = (
-                    self._carry[0],
-                    remap_stats(self._carry[1], jnp.asarray(remap)),
-                )
-
         # --- point table: packed delta or full upload ---
         # (local BA dirties up to local_points=8192 rows per apply; the
         # delta path stays ~6x cheaper than a full table upload until
@@ -585,6 +576,42 @@ class Tracker:
             ln_ends[:nl] = m.ln_end[ln_ids]
             ln_descs[:nl] = m.ln_desc[ln_ids]
             ln_valid[:nl] = True
+
+        # The snapshot is changing: re-index the in-flight found/visible
+        # accumulator carries (points AND lines) from old slots to new
+        # (device-side remap, no fetch) so counts stay attributed to the
+        # same landmarks (ADVICE r2 #1).
+        if self._carry is not None and self._mir is not None:
+            old = self._mir["snap_host"]
+            old_ln = self._mir["ln_ids"]
+            Lcap_old = self._mir["ln_valid"].shape[0]
+            same_pts = len(old) == len(lm) and np.array_equal(old, lm)
+            same_lns = (
+                Lcap_old == Lcap
+                and (old_ln is None) == (ln_ids is None)
+                and (
+                    old_ln is None
+                    or (len(old_ln) == len(ln_ids) and np.array_equal(old_ln, ln_ids))
+                )
+            )
+            if not (same_pts and same_lns) and Lcap_old == Lcap:
+                from .track_step import remap_stats
+
+                lookup = np.full(m.P, -1, np.int32)
+                lookup[old] = np.arange(len(old), dtype=np.int32)
+                remap = np.full(cap, -1, np.int32)
+                remap[: len(lm)] = lookup[lm]
+                ln_remap = np.full(Lcap, -1, np.int32)
+                if ln_ids is not None and old_ln is not None and len(old_ln):
+                    llk = np.full(m.L, -1, np.int32)
+                    llk[old_ln] = np.arange(len(old_ln), dtype=np.int32)
+                    ln_remap[: len(ln_ids)] = llk[ln_ids]
+                self._carry = (
+                    self._carry[0],
+                    remap_stats(
+                        self._carry[1], jnp.asarray(remap), jnp.asarray(ln_remap)
+                    ),
+                )
         self._mir = {
             "pt": pt,
             "ref_xy": ref_xy,
@@ -849,8 +876,8 @@ class Tracker:
         cap = e.out.found_acc.shape[0]
         with self.timing.stage("kf_event_fetch"):
             buf = np.asarray(pack_kf_event(e.frame, e.out))
-        fh, assoc, _inl, ln_idx, ln_mask, found, vis = unpack_kf_event(
-            buf, e.frame.n, Lcap, cap
+        fh, assoc, _inl, ln_idx, ln_mask, found, vis, ln_found, ln_vis = (
+            unpack_kf_event(buf, e.frame.n, Lcap, cap)
         )
         # Landmark statistics (IncreaseFound / IncreaseVisible),
         # accumulated on device since the last keyframe event.
@@ -858,6 +885,12 @@ class Tracker:
         if len(sh):
             self.map.pt_found[sh] += found[: len(sh)]
             self.map.pt_visible[sh] += vis[: len(sh)]
+        # Line landmark statistics (MapLine Increase{Found,Visible}) —
+        # the found-ratio clause of cull_lines is live from here on.
+        if e.ln_ids is not None and len(e.ln_ids):
+            nl = min(len(e.ln_ids), len(ln_found))
+            self.map.ln_found[e.ln_ids[:nl]] += ln_found[:nl]
+            self.map.ln_visible[e.ln_ids[:nl]] += ln_vis[:nl]
         if self._carry is not None:
             self._carry = (self._carry[0], zero_stats(self._carry[1]))
 
@@ -923,6 +956,26 @@ class Tracker:
                     s_w, e_w, lf.desc[new_ln], kf, new_ln
                 )
                 self.recent_ln.append(ids)
+            # Line lifecycle (MapLine maintenance, SURVEY §2.1 rows 3,8):
+            # fuse duplicates across keyframes, two-view triangulation
+            # for segments without stereo depth (mono's ONLY 3D-line
+            # source), distinctive-descriptor refresh.
+            from ..slam_map.line_mapping import (
+                create_lines_two_view,
+                fuse_lines_into_keyframe,
+            )
+
+            fuse_lines_into_keyframe(self.map, kf, cfg.camera)
+            if self.is_mono or len(new_ln) == 0:
+                nbrs, _ = self.map.covisible_keyframes(kf, min_weight=10, max_n=1)
+                if len(nbrs):
+                    tri_ln = create_lines_two_view(
+                        self.map, kf, int(nbrs[0]), cfg.camera
+                    )
+                    if len(tri_ln):
+                        self.recent_ln.append(tri_ln)
+            obs_ln = self.map.kf_ln_obs[kf]
+            self.map.update_line_stats(obs_ln[obs_ln >= 0])
 
         # Landmark stats for everything this KF observes.
         seen = self.map.kf_obs_lm[kf]

@@ -308,14 +308,20 @@ class MapStore:
         idx = np.where(obs >= 0, obs, self.L)
         new = np.where(obs >= 0, remap[idx], -1).astype(np.int32)
         changed = (obs >= 0) & (new != obs)
-        pres = np.zeros((len(rows), self.L + 1), bool)
-        pres[np.arange(len(rows))[:, None], idx] = True
-        conflict = changed & pres[
-            np.arange(len(rows))[:, None], np.where(changed, new, self.L)
-        ]
-        new = np.where(conflict, -1, new)
-        new = _dedup_rows(new, self.L)
-        self.kf_ln_obs[rows] = new
+        touched = changed.any(axis=1)
+        rows_t = rows[touched]
+        if len(rows_t):
+            idx_t = idx[touched]
+            new_t = new[touched]
+            changed_t = changed[touched]
+            pres = np.zeros((len(rows_t), self.L + 1), bool)
+            pres[np.arange(len(rows_t))[:, None], idx_t] = True
+            conflict = changed_t & pres[
+                np.arange(len(rows_t))[:, None],
+                np.where(changed_t, new_t, self.L),
+            ]
+            new_t = np.where(conflict, -1, new_t)
+            self.kf_ln_obs[rows_t] = _dedup_rows(new_t, self.L)
         np.add.at(self.ln_found, remap[src_ids], self.ln_found[src_ids])
         np.add.at(self.ln_visible, remap[src_ids], self.ln_visible[src_ids])
         self.ln_valid[src_ids] = False
@@ -424,17 +430,32 @@ class MapStore:
         idx = np.where(obs >= 0, obs, self.P)
         new = np.where(obs >= 0, remap[idx], -1).astype(np.int32)
         changed = (obs >= 0) & (new != obs)
-        # Conflict: the row already observed dst natively → clear the
-        # remapped slot (keep the original observation).
-        pres = np.zeros((len(rows), self.P + 1), bool)
-        pres[np.arange(len(rows))[:, None], idx] = True
-        conflict = changed & pres[
-            np.arange(len(rows))[:, None], np.where(changed, new, self.P)
-        ]
-        new = np.where(conflict, -1, new)
-        # Two srcs merging into one dst inside the same row: keep first.
-        new = _dedup_rows(new, self.P)
-        self.kf_obs_lm[rows] = new
+        # Restrict all remaining work to rows that actually contain a
+        # remapped slot — a dense [K, P] presence matrix over every
+        # valid keyframe was a ~65 MB allocation per merge batch at
+        # full map scale (ADVICE r2 #5).
+        touched = changed.any(axis=1)
+        rows_t = rows[touched]
+        if len(rows_t) == 0:
+            new_rows = None
+        else:
+            obs_t = obs[touched]
+            idx_t = idx[touched]
+            new_t = new[touched]
+            changed_t = changed[touched]
+            # Conflict: the row already observed dst natively → clear
+            # the remapped slot (keep the original observation).
+            pres = np.zeros((len(rows_t), self.P + 1), bool)
+            pres[np.arange(len(rows_t))[:, None], idx_t] = True
+            conflict = changed_t & pres[
+                np.arange(len(rows_t))[:, None],
+                np.where(changed_t, new_t, self.P),
+            ]
+            new_t = np.where(conflict, -1, new_t)
+            # Two srcs merging into one dst in the same row: keep first.
+            new_rows = _dedup_rows(new_t, self.P)
+        if new_rows is not None:
+            self.kf_obs_lm[rows_t] = new_rows
         np.add.at(self.pt_found, remap[src_ids], self.pt_found[src_ids])
         np.add.at(self.pt_visible, remap[src_ids], self.pt_visible[src_ids])
         self.pt_valid[src_ids] = False

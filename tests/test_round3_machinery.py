@@ -216,3 +216,111 @@ def test_pipeline_depth_trajectories_agree():
     path_len = 24 * 0.2
     assert ates[0] < 0.04 * path_len, f"depth0 ATE {ates[0]:.3f}"
     assert ates[1] < 0.08 * path_len, f"depth1 ATE {ates[1]:.3f}"
+
+
+class TestLineLifecycle:
+    """MapLine lifecycle completion (VERDICT r2 'next round' #4):
+    found/visible accumulation makes the cull ratio live, fuse merges
+    duplicates, two-view triangulation creates mono 3D lines."""
+
+    def _store_with_lines(self):
+        cfg = MapConfig(max_keyframes=8, max_points=256, max_lines=32)
+        s = MapStore(cfg, n_features=16, n_lines=16)
+        return s
+
+    def test_found_ratio_cull_is_live(self):
+        s = self._store_with_lines()
+        f = _FakeFrame(16)
+        k = s.add_keyframe(f, np.eye(3, dtype=np.float32),
+                           np.zeros(3, np.float32), 0)
+        ids = s.add_lines(
+            np.zeros((2, 3), np.float32), np.ones((2, 3), np.float32),
+            np.zeros((2, 32), np.uint8), k, np.asarray([0, 1]),
+        )
+        # Line 0: seen often; line 1: visible many times, found rarely.
+        s.ln_found[ids[0]] += 8
+        s.ln_visible[ids[0]] += 10
+        s.ln_found[ids[1]] += 1
+        s.ln_visible[ids[1]] += 20
+        culled = s.cull_lines(k, ids)
+        assert not s.ln_valid[ids[1]], "low found-ratio line must be culled"
+
+    def test_fuse_merges_duplicate_lines(self):
+        from orb_line_slam_tpu.slam_map.line_mapping import (
+            fuse_lines_into_keyframe,
+        )
+
+        s = self._store_with_lines()
+        rng = np.random.default_rng(0)
+        f = _FakeFrame(16)
+        k0 = s.add_keyframe(f, np.eye(3, dtype=np.float32),
+                            np.zeros(3, np.float32), 0)
+        k1 = s.add_keyframe(f, np.eye(3, dtype=np.float32),
+                            np.asarray([0.1, 0, 0], np.float32), 1)
+        desc = rng.integers(0, 256, (1, 32), dtype=np.uint8)
+        s_w = np.asarray([[0.0, -1.0, 6.0]], np.float32)
+        e_w = np.asarray([[0.0, 1.0, 6.0]], np.float32)
+        a = s.add_lines(s_w, e_w, desc, k0, np.asarray([0]))
+        b = s.add_lines(s_w + 0.005, e_w + 0.005, desc, k1, np.asarray([0]))
+        # k1 sees the (duplicate) line b through feature slot 0; project
+        # the physical segment into k1's stored line features so the
+        # fuse matcher can find it.
+        p_c = s_w[0] + np.asarray([0.1, 0, 0])
+        cam = CAM
+        for kf in (k1,):
+            z = 6.0
+            u0 = cam.fx * (s_w[0, 0] + 0.1) / z + cam.cx
+            v0 = cam.fy * s_w[0, 1] / z + cam.cy
+            u1 = cam.fx * (e_w[0, 0] + 0.1) / z + cam.cx
+            v1 = cam.fy * e_w[0, 1] / z + cam.cy
+            s.kf_ln_p0[kf, 0] = [u0, v0]
+            s.kf_ln_p1[kf, 0] = [u1, v1]
+            s.kf_ln_desc[kf, 0] = desc[0]
+            s.kf_ln_valid[kf, 0] = True
+            s.kf_ln_obs[kf, 0] = b[0]
+        n = fuse_lines_into_keyframe(s, k1, cam)
+        assert n >= 1
+        # One of the duplicates must have been merged away.
+        assert s.ln_valid[a[0]] != s.ln_valid[b[0]] or int(
+            s.ln_valid[a[0]]
+        ) + int(s.ln_valid[b[0]]) == 1
+
+    def test_two_view_line_creation(self):
+        from orb_line_slam_tpu.slam_map.line_mapping import (
+            create_lines_two_view,
+        )
+
+        s = self._store_with_lines()
+        rng = np.random.default_rng(1)
+        cam = CAM
+        f = _FakeFrame(16)
+        # Two keyframes with 0.4 m baseline observing a vertical 3D line.
+        t0 = np.zeros(3, np.float32)
+        t1 = np.asarray([-0.4, 0, 0], np.float32)
+        k0 = s.add_keyframe(f, np.eye(3, dtype=np.float32), t0, 0)
+        k1 = s.add_keyframe(f, np.eye(3, dtype=np.float32), t1, 1)
+        s.kf_obs_lm[k1, :4] = s.add_points(
+            np.tile(np.asarray([[0, 0, 8.0]], np.float32), (4, 1)),
+            f.desc[:4], f.octave[:4], k0, np.arange(4),
+        )  # covisibility for neighbour lookup
+        s.touch_obs()
+        s_w = np.asarray([0.5, -1.0, 8.0])
+        e_w = np.asarray([0.5, 1.0, 8.0])
+        desc = rng.integers(0, 256, 32, dtype=np.uint8)
+        for kf, t in ((k0, t0), (k1, t1)):
+            pc0, pc1 = s_w + t, e_w + t
+            s.kf_ln_p0[kf, 0] = [
+                cam.fx * pc0[0] / pc0[2] + cam.cx,
+                cam.fy * pc0[1] / pc0[2] + cam.cy,
+            ]
+            s.kf_ln_p1[kf, 0] = [
+                cam.fx * pc1[0] / pc1[2] + cam.cx,
+                cam.fy * pc1[1] / pc1[2] + cam.cy,
+            ]
+            s.kf_ln_desc[kf, 0] = desc
+            s.kf_ln_valid[kf, 0] = True
+        ids = create_lines_two_view(s, k0, k1, cam)
+        assert len(ids) == 1, "expected one triangulated line"
+        got = np.sort(np.stack([s.ln_start[ids[0]], s.ln_end[ids[0]]]), axis=0)
+        want = np.sort(np.stack([s_w, e_w]), axis=0)
+        np.testing.assert_allclose(got, want, atol=0.05)
