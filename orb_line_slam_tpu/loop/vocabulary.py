@@ -113,6 +113,29 @@ class Vocabulary:
         return Vocabulary(children, node_desc, word_id, word_weight, k, depth)
 
     # ------------------------------------------------------------------
+    def save_orbvoc_txt(self, path: str | Path) -> None:
+        """Serialize in DBoW2's ORBvoc.txt node-list format (header
+        'k L scoring weighting'; one line per non-root node:
+        parent_id is_leaf d0..d31 weight) — round-trips through
+        parse_orbvoc_txt (both the native mmap parser and the Python
+        fallback), and is what lets the suite exercise the parser
+        without the 145 MB reference file."""
+        n = self.children.shape[0]
+        parents = np.full(n, -1, np.int64)
+        ch = self.children
+        rows = np.repeat(np.arange(n), ch.shape[1])
+        flat = ch.ravel()
+        sel = flat >= 0
+        parents[flat[sel]] = rows[sel]
+        with open(path, "w") as f:
+            f.write(f"{self.k} {self.depth} 0 0\n")
+            wid = self.word_id
+            for node in range(1, n):
+                leaf = 1 if wid[node] >= 0 else 0
+                wgt = float(self.word_weight[wid[node]]) if leaf else 0.0
+                d = " ".join(str(int(x)) for x in self.node_desc[node])
+                f.write(f"{parents[node]} {leaf} {d} {wgt}\n")
+
     @staticmethod
     def parse_orbvoc_txt(path: str | Path):
         """Parse DBoW2's text vocabulary format (ORBvoc.txt):

@@ -200,20 +200,30 @@ def brief_descriptors_from_tiles(
     bins = quantize_angle(angles)
     if jax.default_backend() == "tpu":
         tables = jnp.asarray(_onehot_tables(), jnp.bfloat16)
-        # Split-precision selection: the one-hot matmul is exact in the
-        # table (0/1 is exact bf16) but a plain bf16 cast of the blurred
-        # pixel values loses ~0.25 at magnitude ~128, which flips
-        # borderline BRIEF comparisons (i1 < i2) and was measured to add
-        # ~4 noisy bits per descriptor vs the exact CPU gather — enough
-        # to halve tracking inliers.  hi = bf16(v), lo = bf16(v - hi)
-        # recovers f32-level accuracy (|err| < 1e-3) with two bf16 MXU
-        # matmuls instead of one.
+        # THREE-term split-precision selection: the one-hot table is
+        # exact in bf16 but the sampled pixel value is not.  A 2-term
+        # (hi+lo) split still left ~1e-3 of sampling error, and BLURRED
+        # tiles are locally smooth, so BRIEF pairs are frequently within
+        # 1e-3 of a tie — measured median 3 bits of CPU-vs-TPU
+        # descriptor divergence (tests/test_tpu_parity.py guards this).
+        # hi+mid+lo brings the error to ~1e-5 for one extra bf16 MXU
+        # pass (full f32 HIGHEST here cost 25% of the whole front-end).
+        # optimization_barrier: the runtime compiles with
+        # --xla_allow_excess_precision=true, which licenses XLA to
+        # algebraically collapse hi+mid+lo back into one bf16 rounding
+        # of the sum — silently reintroducing the full bf16 error the
+        # split exists to remove.
         flat32 = tiles_blur.reshape(n, -1).astype(jnp.float32)
-        hi = flat32.astype(jnp.bfloat16)
-        lo = (flat32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hi = jax.lax.optimization_barrier(flat32.astype(jnp.bfloat16))
+        r1 = flat32 - hi.astype(jnp.float32)
+        mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
+        lo = jax.lax.optimization_barrier(
+            (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        )
         vals = jnp.zeros((n, 512), jnp.float32)
         for b in range(N_ANGLE_BINS):
             vb = jnp.dot(hi, tables[b], preferred_element_type=jnp.float32)
+            vb = vb + jnp.dot(mid, tables[b], preferred_element_type=jnp.float32)
             vb = vb + jnp.dot(lo, tables[b], preferred_element_type=jnp.float32)
             vals = vals + jnp.where((bins == b)[:, None], vb, 0.0)
     else:

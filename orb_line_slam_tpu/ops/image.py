@@ -66,9 +66,35 @@ def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.
     return separable_filter(img, taps, taps)
 
 
+@functools.lru_cache(maxsize=256)
+def _resize_matrix(n_out: int, n_in: int) -> np.ndarray:
+    """[n_out, n_in] row-interpolation matrix reproducing
+    jax.image.resize(method='bilinear') semantics: half-pixel centers
+    with an anti-aliasing triangle kernel when downsampling."""
+    scale = n_out / n_in
+    # Kernel support in input pixels (>=1: plain bilinear when upsizing).
+    inv = max(1.0 / scale, 1.0)
+    x = (np.arange(n_out) + 0.5) / scale - 0.5        # input coords
+    j = np.arange(n_in)
+    w = np.maximum(0.0, 1.0 - np.abs(j[None, :] - x[:, None]) / inv)
+    w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+    return w.astype(np.float32)
+
+
 def resize_bilinear(img: jnp.ndarray, new_hw: tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize of a 2D image (pyramid levels)."""
-    return jax.image.resize(img, new_hw, method="bilinear")
+    """Bilinear (anti-aliased) resize of a 2D image (pyramid levels) as
+    two interpolation matmuls in f32 HIGHEST.
+
+    TPU note: jax.image.resize lowers through default-precision (bf16)
+    matmuls on this chip, which perturbs pyramid pixels by ~0.5 — enough
+    to flip borderline BRIEF bits and break CPU/TPU descriptor parity
+    (the round-1 divergence class; guarded by tests/test_tpu_parity.py)."""
+    h2, w2 = new_hw
+    h1, w1 = img.shape
+    My = jnp.asarray(_resize_matrix(h2, h1))
+    Mx = jnp.asarray(_resize_matrix(w2, w1))
+    hp = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(My, img, precision=hp), Mx.T, precision=hp)
 
 
 def pyramid_shapes(h: int, w: int, n_levels: int, scale: float) -> list[tuple[int, int]]:

@@ -86,14 +86,22 @@ class System:
         if self.localization_only or not self.use_loop_closing:
             return
         if self.voc is None:
-            # Train a vocabulary from the first keyframe's descriptors
-            # (the reference ships a 145 MB pre-trained ORBvoc.txt; we
-            # bootstrap one when none is provided).
+            # Train a vocabulary on the fly (the reference ships a
+            # 145 MB pre-trained ORBvoc.txt; we bootstrap one when none
+            # is provided): accumulate the first few keyframes'
+            # descriptors so the 10^3-word tree sees real appearance
+            # diversity instead of one view.
             store = self.tracker.map
             descs = store.kf_desc[kf_id][store.kf_feat_valid[kf_id]]
-            if len(descs) < 200:
+            self._voc_corpus = getattr(self, "_voc_corpus", [])
+            if len(descs):
+                self._voc_corpus.append(descs)
+            total = sum(len(d) for d in self._voc_corpus)
+            if total < 600 and len(self._voc_corpus) < 3:
                 return
-            self.voc = Vocabulary.train(descs, k=8, depth=3, seed=0)
+            corpus = np.concatenate(self._voc_corpus)[:20000]
+            self.voc = Vocabulary.train(corpus, k=10, depth=3, seed=0)
+            self._voc_corpus = []
         if self.loop_closer is None:
             self.loop_closer = LoopCloser(self.cfg, self.tracker.map, self.voc)
             self.loop_closer.gba_async = self.gba_async

@@ -1,0 +1,104 @@
+"""Vocabulary at scale: >=10^4-word training, DBoW2 text round-trip
+through both parser paths, and loop-detection precision/recall on a
+revisit sequence (VERDICT r2 'next round' #7)."""
+
+import numpy as np
+import pytest
+
+from orb_line_slam_tpu.loop.vocabulary import Vocabulary
+from orb_line_slam_tpu.slam_map.keyframe_db import KeyFrameDatabase
+
+
+def _place_descriptors(rng, n_places, n_desc, flip_bits=0):
+    """Per-place descriptor banks; revisits flip `flip_bits` random bits
+    per descriptor (viewpoint/illumination noise analog)."""
+    base = rng.integers(0, 256, (n_places, n_desc, 32), dtype=np.uint8)
+
+    def noisy(p):
+        d = base[p].copy()
+        if flip_bits:
+            for _ in range(flip_bits):
+                i = rng.integers(0, n_desc, n_desc)
+                b = rng.integers(0, 256, n_desc).astype(np.uint8)
+                d[np.arange(n_desc), rng.integers(0, 32, n_desc)] ^= (
+                    1 << rng.integers(0, 8, n_desc)
+                ).astype(np.uint8)
+        return d
+
+    return base, noisy
+
+
+@pytest.mark.slow
+def test_train_10k_words_and_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    descs = rng.integers(0, 256, (30000, 32), dtype=np.uint8)
+    voc = Vocabulary.train(descs, k=10, depth=4, seed=0)
+    assert voc.n_words >= 8000, f"only {voc.n_words} words"
+
+    # Round-trip through the DBoW2 text format, Python fallback path.
+    p = tmp_path / "voc.txt"
+    voc.save_orbvoc_txt(p)
+    from orb_line_slam_tpu.utils import native as native_mod
+
+    orig = native_mod.parse_orbvoc_native
+    try:
+        native_mod.parse_orbvoc_native = lambda path: None  # force Python
+        voc_py = Vocabulary.parse_orbvoc_txt(p)
+    finally:
+        native_mod.parse_orbvoc_native = orig
+    assert voc_py.n_words == voc.n_words
+    np.testing.assert_array_equal(voc_py.node_desc, voc.node_desc)
+
+    # Native mmap parser path (when the shared library is built).
+    parsed = orig(p)
+    if parsed is not None:
+        voc_nat = Vocabulary._from_node_list(*parsed)
+        np.testing.assert_array_equal(voc_nat.node_desc, voc.node_desc)
+        np.testing.assert_allclose(
+            voc_nat.word_weight, voc.word_weight, rtol=1e-5
+        )
+
+    # Same descriptors must land in the same words through all copies.
+    q = descs[:256]
+    v = np.ones(256, bool)
+    w0 = voc.transform_words(q, v)
+    w1 = voc_py.transform_words(q, v)
+    agree = float((w0 == w1).mean())
+    assert agree == 1.0, f"word agreement {agree}"
+
+
+@pytest.mark.slow
+def test_loop_detection_precision_recall():
+    """Revisit sequence: places 0..N-1 visited twice; the database must
+    recover the first visit when queried at the second with noisy
+    descriptors, and not fire on unrelated places."""
+    rng = np.random.default_rng(1)
+    n_places, n_desc = 24, 220
+    base, noisy = _place_descriptors(rng, n_places, n_desc, flip_bits=1)
+
+    voc = Vocabulary.train(
+        base.reshape(-1, 32)[:20000], k=10, depth=3, seed=1
+    )
+    db = KeyFrameDatabase(voc)
+    valid = np.ones(n_desc, bool)
+    for p in range(n_places):
+        db.add(p, base[p], valid)
+
+    hits, truths, n_cands = 0, 0, 0
+    for p in range(n_places):
+        ids, w = voc.bow_vector(noisy(p), valid)
+        # Query as LoopCloser._detect does (shared-word count +
+        # relative-score gates).  The revisit's covisible set contains
+        # only second-visit keyframes (not in the database), so the
+        # exclusion set is just the query itself.
+        db.bow[10_000] = (ids, w)  # transient query entry
+        cands = db.detect_loop_candidates(10_000, 0.01, {10_000})
+        del db.bow[10_000]
+        truths += 1
+        n_cands += len(cands)
+        if p in cands:
+            hits += 1
+    recall = hits / truths
+    precision = hits / max(n_cands, 1)
+    assert recall >= 0.8, f"loop recall {recall:.2f}"
+    assert precision >= 0.5, f"loop precision {precision:.2f}"
