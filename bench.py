@@ -187,7 +187,13 @@ def _bench_pipeline(cam, n_frames: int = 60, warmup: int = 12):
 def _bench_ate(cam, n_frames: int = 240):
     """ATE RMSE of the full System on a drift+revisit synthetic loop
     (out along an arc and back) — the driver-visible accuracy metric
-    (VERDICT r2 'next round' #5)."""
+    (VERDICT r2 'next round' #5).
+
+    Runs with SYNCHRONOUS mapping: the async chains' apply timing is
+    wall-clock dependent (readiness polls), which makes trajectories —
+    like the reference's own multithreaded runs — nondeterministic
+    across runs; the accuracy metric pins the deterministic schedule so
+    regressions are attributable."""
     import numpy as np
 
     from orb_line_slam_tpu.config import OrbConfig, SlamConfig
@@ -200,6 +206,8 @@ def _bench_ate(cam, n_frames: int = 240):
     poses = circular_trajectory(n_frames, step=0.12)
     frames = [scene.render_stereo(R, t) for R, t in poses]
     sysm = System(cfg)
+    sysm.tracker.async_mapping = False
+    sysm.gba_async = False
     for i, (l, r) in enumerate(frames):
         sysm.track_stereo(l, r, timestamp=0.1 * i)
     sysm.shutdown()
