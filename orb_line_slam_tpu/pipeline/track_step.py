@@ -370,6 +370,42 @@ def track_step(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "has_lines"))
+def fused_frame_track_step(
+    img_l, img_r,
+    last_frame, mir: MapMirror, last_gid,
+    Rv, tv, R_last, t_last, has_velocity,
+    ref_xy, ref_desc, ref_angle, ref_slots,
+    snap_ids, found_acc, vis_acc, ln_found_acc, ln_vis_acc,
+    ln_start, ln_end, ln_desc, ln_valid,
+    cfg: SlamConfig, has_lines: bool = False,
+):
+    """ONE device program per steady-state frame: stereo front-end +
+    line front-end + the fused tracking step.  Dispatching them as
+    three programs leaves inter-program scheduling gaps through the
+    axon tunnel that roughly double the per-frame wall time (PROFILE.md
+    measures ~40 ms of summed device time but ~100 ms/frame observed);
+    a single dispatch lets XLA schedule the whole frame back to back.
+    Returns (frame, line_features_or_None, TrackOut)."""
+    from ..frontend.frame import build_stereo_frame
+    from ..frontend.line_extractor import build_line_features
+
+    frame = build_stereo_frame(img_l, img_r, cfg)
+    lf = None
+    if cfg.lines.enabled:
+        lf = build_line_features(img_l, img_r, cfg.camera, cfg.lines)
+    out = track_step(
+        frame, last_frame, mir, last_gid,
+        Rv, tv, R_last, t_last, has_velocity,
+        ref_xy, ref_desc, ref_angle, ref_slots,
+        snap_ids, found_acc, vis_acc, ln_found_acc, ln_vis_acc,
+        lf if has_lines else None,
+        ln_start, ln_end, ln_desc, ln_valid,
+        cfg=cfg, has_lines=has_lines,
+    )
+    return frame, lf, out
+
+
 @jax.jit
 def remap_stats(out: TrackOut, remap, ln_remap) -> TrackOut:
     """Re-index the found/visible accumulator carries when the local-map

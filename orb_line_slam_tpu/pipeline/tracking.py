@@ -195,9 +195,30 @@ class Tracker:
         of the most recently *consumed* frame (the current frame when
         pipeline_depth=0)."""
         self.frame_id += 1
+        l = jnp.asarray(img_left)
+        r = jnp.asarray(img_right)
+        if self.state != "NOT_INITIALIZED":
+            # Steady state: ONE fused device program for the whole frame.
+            self.poll_map_jobs()
+            self.poll_pending_ba()
+            with self.timing.stage("track_dispatch"):
+                frame, lf, out = self._dispatch_fused(l, r)
+                try:
+                    out.packed.copy_to_host_async()
+                except AttributeError:
+                    pass
+            self.cur_frame = frame
+            self.cur_lines = lf
+            self._q.append(_PipeEntry(
+                fid=self.frame_id, ts=timestamp, frame=frame,
+                prev_frame=self._prev_for_dispatch, lines=lf,
+                out=out, snap_host=self._mir["snap_host"],
+                ln_ids=self._mir["ln_ids"], kf_epoch=self._kf_epoch,
+            ))
+            while len(self._q) > self.pipeline_depth:
+                self._consume()
+            return self.current_pose()
         with self.timing.stage("frontend_dispatch"):
-            l = jnp.asarray(img_left)
-            r = jnp.asarray(img_right)
             frame = build_stereo_frame(l, r, self.cfg)
         if self.cfg.lines.enabled:
             from ..frontend.line_extractor import build_line_features
@@ -358,8 +379,11 @@ class Tracker:
             self._consume()
         return self.current_pose()
 
-    def _dispatch_track_step(self, frame: Frame, lines):
-        """Dispatch the fused track step (device carries, no fetch)."""
+    def _dispatch_inputs(self, lines):
+        """Mirror refresh + carry/cold-start inputs shared by the
+        separate and fused dispatch paths.  Returns (mir, has_lines,
+        last_frame, args) with args = everything between last_gid and
+        ln_vis in track_step's signature."""
         if (
             self._mirror_dirty
             or self._mir is None
@@ -367,8 +391,6 @@ class Tracker:
         ):
             self._refresh_mirror(lines)
         mir = self._mir
-        has_lines = mir["has_lines"] and lines is not None
-
         Lcap = mir["ln_valid"].shape[0]
         if self._carry is not None:
             last_frame, prev = self._carry
@@ -385,7 +407,7 @@ class Tracker:
             # is disabled for one frame (no velocity), so the stale
             # association vector is never read.
             last_frame = self.last_frame
-            last_gid = jnp.full((frame.n,), -1, jnp.int32)
+            last_gid = jnp.full((self.cfg.orb.n_features,), -1, jnp.int32)
             Rv = jnp.eye(3, dtype=jnp.float32)
             tv = jnp.zeros(3, jnp.float32)
             hv = jnp.asarray(False)
@@ -396,14 +418,19 @@ class Tracker:
             vis = jnp.zeros(cap, jnp.int32)
             ln_found = jnp.zeros(Lcap, jnp.int32)
             ln_vis = jnp.zeros(Lcap, jnp.int32)
-
-        out = track_step(
-            frame, last_frame,
-            mir["pt"], last_gid,
-            Rv, tv, R_last, t_last, hv,
+        args = (
+            last_gid, Rv, tv, R_last, t_last, hv,
             mir["ref_xy"], mir["ref_desc"], mir["ref_angle"], mir["ref_slots"],
-            mir["snap_ids"], found, vis,
-            ln_found, ln_vis,
+            mir["snap_ids"], found, vis, ln_found, ln_vis,
+        )
+        return mir, last_frame, args
+
+    def _dispatch_track_step(self, frame: Frame, lines):
+        """Dispatch the fused track step (device carries, no fetch)."""
+        mir, last_frame, args = self._dispatch_inputs(lines)
+        has_lines = mir["has_lines"] and lines is not None
+        out = track_step(
+            frame, last_frame, mir["pt"], *args,
             lines if has_lines else None,
             mir["ln_start"], mir["ln_end"], mir["ln_desc"], mir["ln_valid"],
             cfg=self.cfg, has_lines=has_lines,
@@ -411,6 +438,25 @@ class Tracker:
         self._prev_for_dispatch = last_frame
         self._carry = (frame, out)
         return out
+
+    def _dispatch_fused(self, img_l, img_r):
+        """Steady-state stereo path: front-end (points + lines) and the
+        track step in ONE device program (track_step.
+        fused_frame_track_step) — three separate dispatches leave
+        tunnel scheduling gaps that ~double the per-frame wall time.
+        Returns (frame, line_features_or_None, TrackOut)."""
+        from .track_step import fused_frame_track_step
+
+        mir, last_frame, args = self._dispatch_inputs(self.cur_lines)
+        has_lines = bool(mir["has_lines"]) and self.cfg.lines.enabled
+        frame, lf, out = fused_frame_track_step(
+            img_l, img_r, last_frame, mir["pt"], *args,
+            mir["ln_start"], mir["ln_end"], mir["ln_desc"], mir["ln_valid"],
+            cfg=self.cfg, has_lines=has_lines,
+        )
+        self._prev_for_dispatch = last_frame
+        self._carry = (frame, out)
+        return frame, lf, out
 
     def _redispatch(self, se: _PipeEntry):
         """Re-run the fused step for a queued frame against fresh host
