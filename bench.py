@@ -171,6 +171,7 @@ def _bench_pipeline(cam, n_frames: int = 60, warmup: int = 12):
         sysm.track_stereo(*frames[i], timestamp=0.1 * i)
     if sysm.loop_closer is not None:
         sysm.loop_closer.warmup_jit()
+    sysm.tracker.warmup_ba()
     sysm.tracker.timing.reset()
     t0 = time.perf_counter()
     for i in range(warmup, n_frames):
@@ -205,7 +206,7 @@ def _bench_ate(cam, n_frames: int = 240):
     scene = SyntheticScene(cam, n_points=900, seed=11)
     poses = circular_trajectory(n_frames, step=0.12)
     frames = [scene.render_stereo(R, t) for R, t in poses]
-    sysm = System(cfg)
+    sysm = System(cfg, async_loop=False)
     sysm.tracker.async_mapping = False
     sysm.gba_async = False
     for i, (l, r) in enumerate(frames):

@@ -12,6 +12,8 @@ becomes a per-keyframe call; asynchrony is the host's choice).
 from __future__ import annotations
 
 import dataclasses
+import queue
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -117,6 +119,25 @@ class LoopCloser:
         # it (Sim3Solver's bFixScale=false); stereo/RGB-D pin s=1.
         # System sets this from the tracker's sensor type.
         self.fix_scale = True
+        # --- asynchronous detection (the reference's LoopClosing
+        # pthread, src/LoopClosing.cc Run loop — SURVEY.md §2.4): when
+        # async_detect is set, process_keyframe enqueues the keyframe to
+        # a host worker thread that runs BoW transform + candidate
+        # detection + the full Sim3 chain (whose ~0.5 s of device
+        # round-trips otherwise stall the frame loop at every attempt —
+        # measured 121 ms/frame on the synthetic loop).  The worker
+        # NEVER mutates the map: a successful detection parks
+        # (kf, cand, Sim3) in _pending_loop and the map-rewriting
+        # _correct runs on the tracking thread at the next keyframe
+        # event (the reference pauses LocalMapping for CorrectLoop the
+        # same way).  Generation stamps guard both ends against
+        # cull+slot-recycling while the detection was in flight.
+        self.async_detect = False
+        self._jobs: queue.Queue | None = None
+        self._worker: threading.Thread | None = None
+        self._pending_loop = None   # (kf, gen, cand, cand_gen, sim, count)
+        self._db_lock = threading.Lock()
+        self._worker_exc = None
 
     # ------------------------------------------------------------------
     def warmup_jit(self):
@@ -155,10 +176,11 @@ class LoopCloser:
 
     # ------------------------------------------------------------------
     def _on_kf_culled(self, k: int, parent: int):
-        self.db.erase(k)
-        self.consistent_groups = [
-            (g - {k}, c) for g, c in self.consistent_groups if g - {k}
-        ]
+        with self._db_lock:
+            self.db.erase(k)
+            self.consistent_groups = [
+                (g - {k}, c) for g, c in self.consistent_groups if g - {k}
+            ]
         if self._pending_bow is not None and self._pending_bow[0] == k:
             self._pending_bow = None
 
@@ -172,6 +194,13 @@ class LoopCloser:
         `last_closed_kf` then names the corrected keyframe."""
         store = self.map
         self.kf_counter += 1
+        if self.async_detect:
+            # Apply a parked correction from the worker (map mutation
+            # stays on this thread), then hand the new keyframe to it.
+            applied = self._apply_pending(run_gba)
+            self._ensure_worker()
+            self._jobs.put((kf_id, int(store.kf_gen[kf_id]), self.kf_counter))
+            return applied
         valid = store.kf_feat_valid[kf_id] & (store.kf_obs_lm[kf_id] >= 0)
         prev = self._pending_bow
         self._pending_bow = (
@@ -180,9 +209,85 @@ class LoopCloser:
         )
         return self._process_resolved(prev, run_gba)
 
+    # ------------------------------------------------------------------
+    # async detection worker (the reference's LoopClosing thread)
+    # ------------------------------------------------------------------
+    def _ensure_worker(self):
+        if self._worker is None or not self._worker.is_alive():
+            self._jobs = queue.Queue()
+            self._worker = threading.Thread(
+                target=self._worker_loop, name="loop-closing", daemon=True
+            )
+            self._worker.start()
+
+    def _worker_loop(self):
+        while True:
+            job = self._jobs.get()
+            try:
+                if job is None:
+                    return
+                self._detect_job(*job)
+            except Exception as e:  # surfaced by flush()
+                self._worker_exc = e
+            finally:
+                self._jobs.task_done()
+
+    def _detect_job(self, kf_id: int, gen: int, count: int):
+        """Worker-side: BoW transform + index insert + detection + Sim3.
+        Read-only on the map; parks a hit in _pending_loop."""
+        store = self.map
+        if not store.kf_valid[kf_id] or store.kf_gen[kf_id] != gen:
+            return
+        valid = store.kf_feat_valid[kf_id] & (store.kf_obs_lm[kf_id] >= 0)
+        words = np.asarray(self.voc.dispatch_transform(store.kf_desc[kf_id]))
+        with self._db_lock:
+            if not store.kf_valid[kf_id] or store.kf_gen[kf_id] != gen:
+                return
+            self.db.add_words(kf_id, words, valid)
+        if (
+            store.n_keyframes() < 6
+            or count - self.last_loop_count < 10
+            or self._pending_loop is not None
+        ):
+            return
+        with self._db_lock:
+            cand = self._detect(kf_id)
+        if cand is None or not store.kf_valid[kf_id] or store.kf_gen[kf_id] != gen:
+            return
+        cand_gen = int(store.kf_gen[cand])
+        ok, sim = self._compute_sim3(kf_id, cand)
+        if ok:
+            self._pending_loop = (kf_id, gen, cand, cand_gen, sim, count)
+
+    def _apply_pending(self, run_gba: bool) -> bool:
+        """Tracking-thread side: apply a worker-detected loop (the
+        map-rewriting CorrectLoop half)."""
+        p = self._pending_loop
+        if p is None:
+            return False
+        self._pending_loop = None
+        kf_id, gen, cand, cand_gen, sim, _count = p
+        store = self.map
+        if (
+            not store.kf_valid[kf_id] or store.kf_gen[kf_id] != gen
+            or not store.kf_valid[cand] or store.kf_gen[cand] != cand_gen
+        ):
+            return False
+        self._correct(kf_id, cand, sim, run_gba=run_gba)
+        self.last_loop_count = self.kf_counter
+        self.last_closed_kf = kf_id
+        return True
+
     def flush(self, run_gba: bool = True) -> bool:
         """Drain the pending keyframe's detection (shutdown / end of
         sequence)."""
+        if self.async_detect:
+            if self._jobs is not None:
+                self._jobs.join()   # worker idle, queue drained
+            if self._worker_exc is not None:
+                exc, self._worker_exc = self._worker_exc, None
+                raise exc
+            return self._apply_pending(run_gba)
         prev = self._pending_bow
         self._pending_bow = None
         return self._process_resolved(prev, run_gba)

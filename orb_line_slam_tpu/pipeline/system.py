@@ -33,6 +33,7 @@ class System:
         settings: SlamConfig | str | Path,
         vocabulary: Vocabulary | str | Path | None = None,
         use_loop_closing: bool = True,
+        async_loop: bool = True,
     ):
         self.cfg = (
             settings if isinstance(settings, SlamConfig) else load_settings(settings)
@@ -52,6 +53,11 @@ class System:
         elif vocabulary is not None:
             self.voc = Vocabulary.parse_orbvoc_txt(vocabulary)
         self.use_loop_closing = use_loop_closing
+        # Loop detection + Sim3 on a host worker thread (the reference's
+        # LoopClosing pthread); corrections apply at keyframe events on
+        # the tracking thread.  Disable for bit-deterministic runs (the
+        # bench ATE path does).
+        self.async_loop = async_loop
         self.loop_closer: Optional[LoopCloser] = None
         self.localization_only = False
         self.n_loops_closed = 0
@@ -105,6 +111,7 @@ class System:
         if self.loop_closer is None:
             self.loop_closer = LoopCloser(self.cfg, self.tracker.map, self.voc)
             self.loop_closer.gba_async = self.gba_async
+            self.loop_closer.async_detect = self.async_loop
             # Mono maps drift in scale: loop Sim3 estimates s (the
             # reference's bFixScale = sensor != MONOCULAR).
             self.loop_closer.fix_scale = not self.tracker.is_mono

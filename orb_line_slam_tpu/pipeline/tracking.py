@@ -1109,6 +1109,48 @@ class Tracker:
         self.mark_map_dirty()
         self.timing.add("kf_event_total", time.perf_counter() - _t0)
 
+    def warmup_ba(self):
+        """Pre-trace/compile the local-BA device program for every
+        steady-state shape combo the observation/point buckets can
+        produce (O crossing 12288→16384 or P crossing 4096→8192 as the
+        map densifies would otherwise pay a ~1.5 s host retrace + XLA
+        compile in the middle of a measured window).  Call from bench /
+        profiling warmups; results are discarded."""
+        mc = self.cfg.map
+        cam = self.cfg.camera
+        C = 24
+        combos = [(4096, 12288), (4096, 16384), (8192, 16384)]
+        for P, O in combos:
+            if P > mc.local_points or O > (mc.local_window + 16) * 512:
+                continue
+            args = (
+                jnp.tile(jnp.eye(3, dtype=jnp.float32), (C, 1, 1)),
+                jnp.zeros((C, 3), jnp.float32),
+                jnp.ones(C, bool),
+                jnp.zeros((P, 3), jnp.float32), jnp.zeros(P, bool),
+                jnp.zeros(O, jnp.int32), jnp.zeros(O, jnp.int32),
+                jnp.zeros((O, 3), jnp.float32), jnp.zeros(O, jnp.int32),
+                jnp.zeros(O, bool),
+            )
+            if self.cfg.lines.enabled:
+                from ..backend.line_ba import bundle_adjust_pl
+
+                Lc = self.cfg.lines.n_lines
+                Lo = Lc * 8
+                res = bundle_adjust_pl(
+                    *args,
+                    jnp.tile(jnp.eye(3, dtype=jnp.float32), (Lc, 1, 1)),
+                    jnp.ones((Lc, 2), jnp.float32), jnp.zeros(Lc, bool),
+                    jnp.zeros(Lo, jnp.int32), jnp.zeros(Lo, jnp.int32),
+                    jnp.zeros((Lo, 2), jnp.float32),
+                    jnp.zeros((Lo, 2), jnp.float32),
+                    jnp.zeros(Lo, jnp.int32), jnp.zeros(Lo, bool),
+                    cam, self.cfg.orb.scale_factor,
+                )
+            else:
+                res = bundle_adjust(*args, cam, self.cfg.orb.scale_factor)
+            jax.block_until_ready(res.chi2)
+
     def _local_ba(self, center_kf, defer: bool = False):
         """Local bundle adjustment.  With defer=True the device solve is
         dispatched asynchronously and written back by poll_pending_ba
@@ -1266,14 +1308,29 @@ class Tracker:
                     self.recent_lm.append(tri_ids)
                 apply_fuse(self.map, fuse_job)
             if self.map.n_keyframes() >= 3 and not self.localization_only:
-                # One local BA in flight at a time: join the previous
-                # solve (dispatched a full keyframe interval ago —
-                # essentially always finished) before the next.
-                if self._pending_ba is not None:
-                    self.flush_pending_ba()
-                center = kf if self.map.kf_valid[kf] else self.ref_kf
-                with self.timing.stage("local_ba_dispatch"):
-                    self._local_ba(center, defer=self.async_mapping)
+                # mbAbortBA analog (SURVEY §3.3): when a newer keyframe's
+                # chain is already queued behind this one, the reference
+                # aborts local BA — skip the ~150 ms solve for this KF
+                # (its window is re-optimized at the next quiet KF).
+                # Bounded to 1 consecutive skip so BA can't starve
+                # under sustained keyframe pressure.  Only in async
+                # mode: the deterministic sync path never skips.
+                if (
+                    self.async_mapping
+                    and len(self._map_jobs) >= 1
+                    and getattr(self, "_ba_skips", 0) < 1
+                ):
+                    self._ba_skips = getattr(self, "_ba_skips", 0) + 1
+                else:
+                    self._ba_skips = 0
+                    # One local BA in flight at a time: join the previous
+                    # solve (dispatched a full keyframe interval ago —
+                    # essentially always finished) before the next.
+                    if self._pending_ba is not None:
+                        self.flush_pending_ba()
+                    center = kf if self.map.kf_valid[kf] else self.ref_kf
+                    with self.timing.stage("local_ba_dispatch"):
+                        self._local_ba(center, defer=self.async_mapping)
             self.mark_map_dirty()
             if not force:
                 return

@@ -56,6 +56,7 @@ def main():
     warmup = 12
     for i in range(warmup):
         step(i)
+    tracker.warmup_ba()
     tracker.timing.reset()
     t0 = time.perf_counter()
     for i in range(warmup, n_frames):
