@@ -33,6 +33,7 @@ from ..geometry.camera import CameraIntrinsics
 from ..geometry.se3 import se3_compose, se3_exp
 from .local_ba import BAResult, _residuals_and_jacs
 from .residuals import inv_level_sigma2, make_point_residual_fn
+from .assembly import inv33
 from .robust import CHI2_MONO, CHI2_STEREO, huber_weight
 
 
@@ -106,7 +107,7 @@ def bundle_adjust_cg(
         Hcc = Hcc + lam * Hcc * jnp.eye(6) + 1e-8 * jnp.eye(6)
         Hpp = Hpp + lam * Hpp * jnp.eye(3)
         Hpp = Hpp + (1e-6 + (~point_valid[:, None, None]) * 1.0) * jnp.eye(3)
-        V = jnp.linalg.inv(Hpp)  # [P,3,3]
+        V = inv33(Hpp)  # [P,3,3]
 
         m = free_c[:, 0]  # [C] 1=free
 

@@ -33,6 +33,7 @@ from ..geometry.lines3d import (
     pluecker_transform,
 )
 from ..geometry.se3 import se3_compose, se3_exp
+from .assembly import assemble, assemble_coupling, inv33, inv44, onehot_f32
 from .local_ba import _residuals_and_jacs
 from .residuals import inv_level_sigma2, make_point_residual_fn
 from .robust import CHI2_MONO, CHI2_STEREO, huber_weight
@@ -115,6 +116,11 @@ def bundle_adjust_pl(
     obs_valid = obs_valid & point_valid[obs_lm]
     lobs_valid = lobs_valid & line_valid[lobs_ln]
     free_c = (~cam_fixed).astype(jnp.float32)[:, None]
+    # One-hot assembly matrices (loop-invariant; hoisted out of the scan).
+    oh_cam = onehot_f32(obs_cam, C)
+    oh_lm = onehot_f32(obs_lm, P)
+    oh_lcam = onehot_f32(lobs_cam, C)
+    oh_ln = onehot_f32(lobs_ln, L)
 
     def total_chi2(R, t, points, U, w, ov, lov, use_huber):
         r = point_fn(R[obs_cam], t[obs_cam], points[obs_lm], obs_uvur, is_stereo)
@@ -147,16 +153,11 @@ def bundle_adjust_pl(
         JcT_Jp = jnp.einsum("odi,odj,o->oij", Jc, Jp, wgt)
         gc_o = jnp.einsum("odi,od,o->oi", Jc, r, wgt)
         gp_o = jnp.einsum("odi,od,o->oi", Jp, r, wgt)
-        Hcc = jnp.zeros((C, 6, 6)).at[obs_cam].add(JcT_Jc)
-        Hpp = jnp.zeros((P, 3, 3)).at[obs_lm].add(JpT_Jp)
-        Bp = (
-            jnp.zeros((P * C, 18))
-            .at[obs_lm * C + obs_cam]
-            .add(JcT_Jp.reshape(-1, 18))
-            .reshape(P, C, 6, 3)
-        )
-        gc = jnp.zeros((C, 6)).at[obs_cam].add(gc_o)
-        gp = jnp.zeros((P, 3)).at[obs_lm].add(gp_o)
+        Hcc = assemble(oh_cam, JcT_Jc)
+        Hpp = assemble(oh_lm, JpT_Jp)
+        Bp = assemble_coupling(oh_lm, oh_cam, JcT_Jp)
+        gc = assemble(oh_cam, gc_o)
+        gp = assemble(oh_lm, gp_o)
 
         # ---- line blocks ----
         rl, Jlc, Jll = _line_res_jacs(
@@ -171,25 +172,20 @@ def bundle_adjust_pl(
         JlcT_Jll = jnp.einsum("odi,odj,o->oij", Jlc, Jll, lw)
         glc_o = jnp.einsum("odi,od,o->oi", Jlc, rl, lw)
         gll_o = jnp.einsum("odi,od,o->oi", Jll, rl, lw)
-        Hcc = Hcc.at[lobs_cam].add(JlcT_Jlc)
-        Hll = jnp.zeros((L, 4, 4)).at[lobs_ln].add(JllT_Jll)
-        Bl = (
-            jnp.zeros((L * C, 24))
-            .at[lobs_ln * C + lobs_cam]
-            .add(JlcT_Jll.reshape(-1, 24))
-            .reshape(L, C, 6, 4)
-        )
-        gc = gc.at[lobs_cam].add(glc_o)
-        gl = jnp.zeros((L, 4)).at[lobs_ln].add(gll_o)
+        Hcc = Hcc + assemble(oh_lcam, JlcT_Jlc)
+        Hll = assemble(oh_ln, JllT_Jll)
+        Bl = assemble_coupling(oh_ln, oh_lcam, JlcT_Jll)
+        gc = gc + assemble(oh_lcam, glc_o)
+        gl = assemble(oh_ln, gll_o)
 
         # ---- damping + eliminations ----
         Hcc = Hcc + lam * Hcc * jnp.eye(6) + 1e-8 * jnp.eye(6)
         Hpp = Hpp + lam * Hpp * jnp.eye(3)
         Hpp = Hpp + (1e-6 + (~point_valid[:, None, None]) * 1.0) * jnp.eye(3)
-        Vp = jnp.linalg.inv(Hpp)
+        Vp = inv33(Hpp)
         Hll = Hll + lam * Hll * jnp.eye(4)
         Hll = Hll + (1e-5 + (~line_valid[:, None, None]) * 1.0) * jnp.eye(4)
-        Vl = jnp.linalg.inv(Hll)
+        Vl = inv44(Hll)
 
         Wpp = jnp.einsum("pcij,pjk->pcik", Bp, Vp)
         Wll = jnp.einsum("lcij,ljk->lcik", Bl, Vl)

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 
 from ..geometry.camera import CameraIntrinsics
 from ..geometry.se3 import se3_compose, se3_exp
+from .assembly import assemble, assemble_coupling, inv33, onehot_f32
 from .residuals import inv_level_sigma2, make_point_residual_fn
 from .robust import CHI2_MONO, CHI2_STEREO, huber_weight
 
@@ -100,6 +101,10 @@ def bundle_adjust(
     obs_valid = obs_valid & point_valid[obs_lm]
 
     free_c = (~cam_fixed).astype(jnp.float32)[:, None]  # [C,1]
+    # One-hot selection matrices for the Hessian-block assembly —
+    # loop-invariant, hoisted out of the LM scan by XLA.
+    oh_cam = onehot_f32(obs_cam, C)
+    oh_lm = onehot_f32(obs_lm, P)
 
     def total_chi2(R, t, points, o_valid, use_huber):
         r = point_fn(R[obs_cam], t[obs_cam], points[obs_lm], obs_uvur, is_stereo)
@@ -124,25 +129,19 @@ def bundle_adjust(
         gc_o = jnp.einsum("odi,od,o->oi", Jc, r, w)          # [O,6]
         gp_o = jnp.einsum("odi,od,o->oi", Jp, r, w)          # [O,3]
 
-        Hcc = jnp.zeros((C, 6, 6)).at[obs_cam].add(JcT_Jc)
-        Hpp = jnp.zeros((P, 3, 3)).at[obs_lm].add(JpT_Jp)
-        # Flat-index scatter for the coupling blocks (the multi-index
-        # scatter lowers poorly on TPU — ~1.6x slower than this).
-        B = (
-            jnp.zeros((P * C, 18))
-            .at[obs_lm * C + obs_cam]
-            .add(JcT_Jp.reshape(-1, 18))
-            .reshape(P, C, 6, 3)
-        )
-        gc = jnp.zeros((C, 6)).at[obs_cam].add(gc_o)
-        gp = jnp.zeros((P, 3)).at[obs_lm].add(gp_o)
+        # Block assembly as one-hot matmuls (MXU) — see backend/assembly.
+        Hcc = assemble(oh_cam, JcT_Jc)
+        Hpp = assemble(oh_lm, JpT_Jp)
+        B = assemble_coupling(oh_lm, oh_cam, JcT_Jp)
+        gc = assemble(oh_cam, gc_o)
+        gp = assemble(oh_lm, gp_o)
 
         # LM damping.
         Hcc = Hcc + lam * Hcc * jnp.eye(6) + 1e-8 * jnp.eye(6)
         Hpp = Hpp + lam * Hpp * jnp.eye(3)
         # Safe inverse for unobserved/invalid landmarks.
         Hpp = Hpp + (1e-6 + (~point_valid[:, None, None]) * 1.0) * jnp.eye(3)
-        V = jnp.linalg.inv(Hpp)  # [P,3,3]
+        V = inv33(Hpp)  # [P,3,3] closed-form cofactor inverse
 
         Wp = jnp.einsum("pcij,pjk->pcik", B, V)  # [P,C,6,3]
         # Schur as one flat matmul: [C6, P3] @ [P3, C6].

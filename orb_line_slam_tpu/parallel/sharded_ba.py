@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..backend.assembly import inv33
 from ..backend.local_ba import _residuals_and_jacs
 from ..backend.residuals import inv_level_sigma2, make_point_residual_fn
 from ..backend.robust import CHI2_MONO, CHI2_STEREO, huber_weight
@@ -80,7 +81,7 @@ def _ba_shard_body(
         Hcc = Hcc + lam * Hcc * jnp.eye(6)
         Hpp = Hpp + lam * Hpp * jnp.eye(3)
         Hpp = Hpp + (1e-6 + (~point_valid[:, None, None]) * 1.0) * jnp.eye(3)
-        V = jnp.linalg.inv(Hpp)
+        V = inv33(Hpp)
         Wp = jnp.einsum("pcij,pjk->pcik", B, V)
 
         A1 = Wp.transpose(1, 2, 0, 3).reshape(C * 6, Pl * 3)
@@ -181,7 +182,7 @@ def _cg_shard_body(
         Hcc = Hcc + lam * Hcc * jnp.eye(6) + 1e-8 * jnp.eye(6)
         Hpp = Hpp + lam * Hpp * jnp.eye(3)
         Hpp = Hpp + (1e-6 + (~point_valid[:, None, None]) * 1.0) * jnp.eye(3)
-        V = jnp.linalg.inv(Hpp)
+        V = inv33(Hpp)
 
         def bt_x(x):
             yo = jnp.einsum("oij,oi->oj", JcT_Jp, x[obs_cam])
