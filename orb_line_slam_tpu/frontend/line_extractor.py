@@ -93,7 +93,11 @@ def build_line_features(
     ov_ok = ov > 0.5 * jnp.minimum(yl1 - yl0 + 1.0, 8.0)[:, None]
     gate = (dang < 0.15) & ov_ok & lr.valid[None, :]
     idx, d1, d2 = knn2(dist, gate)
-    matched = ll.valid & (d1 < 80) & (d1.astype(jnp.float32) < 0.9 * d2.astype(jnp.float32))
+    # Descriptor gate at TH_HIGH: the angle/overlap gates above plus the
+    # SAD interior check below are the real verifiers here — LBD Hamming
+    # swings ~15 bits under sub-pixel endpoint shifts, so a tight gate
+    # drops true stereo pairs (measured on the synthetic stereo scene).
+    matched = ll.valid & (d1 < 100) & (d1.astype(jnp.float32) < 0.9 * d2.astype(jnp.float32))
 
     # Endpoint depths: intersect the matched right segment at each left
     # endpoint's row.  Near-horizontal lines are rejected: with a

@@ -35,8 +35,12 @@ import jax.numpy as jnp
 
 from .image import bilinear_sample, gaussian_blur, sobel_gradients
 
-WALK_STEPS = 160     # max half-length of a segment in pixels
-GAP_TOL = 2          # tolerated consecutive support gaps during the walk
+WALK_STEPS = 80      # walk samples per direction (x WALK_STRIDE px reach)
+WALK_STRIDE = 2.0    # px between walk samples: the sub-pixel refit below
+                     # recovers endpoint accuracy, so sampling every
+                     # other pixel halves the gather cost for ~zero
+                     # detection-quality change (parity tests unchanged)
+GAP_TOL = 2          # tolerated consecutive support gaps (in samples)
 
 
 class DetectedLines(NamedTuple):
@@ -100,7 +104,7 @@ def detect_lines(
     # Batched endpoint walk on the fused (edge, cos2θ, sin2θ) field:
     # ONE 3-channel gather per walk instead of three scalar gathers.
     field = jnp.stack([edge, c2, s2], axis=-1)  # [H, W, 3]
-    steps = jnp.arange(1, WALK_STEPS + 1, dtype=jnp.float32)
+    steps = WALK_STRIDE * jnp.arange(1, WALK_STEPS + 1, dtype=jnp.float32)
     centers = xy.astype(jnp.float32)
 
     def walk(direction_sign, theta, dxy):
@@ -134,7 +138,8 @@ def detect_lines(
         # otherwise every segment grows GAP_TOL px of unsupported tail,
         # which tilts the endpoint refit below.
         extent = jnp.max(jnp.where(ga, steps[None, :], 0.0), axis=1)
-        supported = jnp.sum(ga.astype(jnp.float32), axis=1)
+        # supported length in px (each sample stands for WALK_STRIDE px)
+        supported = WALK_STRIDE * jnp.sum(ga.astype(jnp.float32), axis=1)
         return extent, supported
 
     def both_walks(theta):
@@ -152,6 +157,31 @@ def detect_lines(
     d01 = p1 - p0
     theta = jnp.mod(jnp.arctan2(d01[:, 1], d01[:, 0]), jnp.pi)
     p0, p1, length, supported = both_walks(theta)
+
+    # Longitudinal endpoint polish: the stride-2 walk localizes each
+    # endpoint only to ~WALK_STRIDE px; resample the support at 0.5 px
+    # along the direction and pull the endpoint to the last contiguous
+    # supported offset (the stereo-disparity path downstream is
+    # sensitive to ~1 px of endpoint overshoot).
+    polish_off = jnp.arange(-6, 7, dtype=jnp.float32) * 0.5  # [-3, +3] px
+
+    def polish(p, outward):
+        pts = p[:, None, :] + outward[:, None, :] * polish_off[None, :, None]
+        s = bilinear_sample(field, pts)                        # [L, 13, 3]
+        nrm2 = jnp.sqrt(s[..., 1] ** 2 + s[..., 2] ** 2) + 1e-6
+        cos2 = (
+            s[..., 1] * jnp.cos(2 * theta)[:, None]
+            + s[..., 2] * jnp.sin(2 * theta)[:, None]
+        ) / nrm2
+        good = (s[..., 0] > 0.25) & (cos2 > 0.5)
+        n_ok = jnp.sum(jnp.cumprod(good.astype(jnp.int32), axis=1), axis=1)
+        off = polish_off[jnp.clip(n_ok - 1, 0, polish_off.shape[0] - 1)]
+        off = jnp.where(n_ok > 0, off, 0.0)
+        return p + outward * off[:, None]
+
+    dxy = jnp.stack([jnp.cos(theta), jnp.sin(theta)], axis=-1)
+    p0 = polish(p0, -dxy)
+    p1 = polish(p1, dxy)
 
     # Sub-pixel refinement: least-squares refit of the chord through the
     # magnitude-weighted perpendicular support centroids — corrects BOTH

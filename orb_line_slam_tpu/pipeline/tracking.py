@@ -751,6 +751,20 @@ class Tracker:
             pts_c[idx], fh.desc[idx], fh.octave[idx], kf, idx
         )
         self.recent_lm.append(ids)
+        # Line landmarks from stereo endpoint depths, as the reference's
+        # StereoInitialization creates MapLines alongside MapPoints.
+        if self.cfg.lines.enabled and self.cur_lines is not None:
+            lf = jax.device_get(self.cur_lines)
+            ln_assoc = np.full(lf.n, -1, np.int32)
+            self.map.set_kf_lines(kf, lf, ln_assoc)
+            new_ln = np.nonzero(lf.valid & (lf.depth0 > 0) & (lf.depth1 > 0))[0]
+            if len(new_ln):
+                s_c = nbackproject(self.cfg.camera, lf.p0[new_ln], lf.depth0[new_ln])
+                e_c = nbackproject(self.cfg.camera, lf.p1[new_ln], lf.depth1[new_ln])
+                ln_ids = self.map.add_lines(
+                    s_c, e_c, lf.desc[new_ln], kf, new_ln
+                )
+                self.recent_ln.append(ln_ids)
         self.ref_kf = kf
         self.ref_kf_matches = len(ids)
         self.state = "OK"
