@@ -172,6 +172,7 @@ def _bench_pipeline(cam, n_frames: int = 60, warmup: int = 12):
     if sysm.loop_closer is not None:
         sysm.loop_closer.warmup_jit()
     sysm.tracker.warmup_ba()
+    sysm.tracker.warmup_mirror()
     sysm.tracker.timing.reset()
     t0 = time.perf_counter()
     for i in range(warmup, n_frames):

@@ -87,6 +87,79 @@ def _line_res_jacs(line_fn, R, t, U, w, lobs_cam, lobs_ln, lobs_a, lobs_b):
     return jax.vmap(per_obs)(Ro, to, Uo, wo, lobs_a, lobs_b)
 
 
+def pack_pl_inputs(pack, lpack, U0, w0, lval):
+    """Flatten every bundle_adjust_pl input into ONE uint32 buffer.
+
+    Dispatching the solver as ~20 separate jnp.asarray uploads costs
+    ~75 ms/call through the axon tunnel (each small transfer pays its
+    own round-trip under load); one buffer + a device-side unpack is a
+    single transfer.  Layout mirrors unpack inside
+    bundle_adjust_pl_flat — both derive offsets from the same static
+    (C, P, O, L, Ol) so they cannot drift."""
+    import numpy as np
+
+    u = lambda a: np.ascontiguousarray(a).view(np.uint32).ravel()  # noqa: E731
+    i = lambda a: np.ascontiguousarray(a.astype(np.int32)).view(np.uint32).ravel()  # noqa: E731
+    b = lambda a: a.astype(np.uint32).ravel()  # noqa: E731
+    parts = [
+        u(pack["R"].astype(np.float32)), u(pack["t"].astype(np.float32)),
+        b(pack["cam_fixed"]),
+        u(pack["points"].astype(np.float32)), b(pack["point_valid"]),
+        i(pack["obs_cam"]), i(pack["obs_lm"]),
+        u(pack["obs_uvur"].astype(np.float32)), i(pack["obs_oct"]),
+        b(pack["obs_valid"]),
+        u(U0.astype(np.float32)), u(w0.astype(np.float32)), b(lval),
+        i(lpack["lobs_cam"]), i(lpack["lobs_ln"]),
+        u(lpack["lobs_a"].astype(np.float32)),
+        u(lpack["lobs_b"].astype(np.float32)),
+        b(lpack["lobs_valid"]),
+    ]
+    return np.concatenate(parts)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("C", "P", "O", "L", "Ol", "cam", "scale_factor")
+)
+def bundle_adjust_pl_flat(flat, C, P, O, L, Ol, cam, scale_factor=1.2):
+    """bundle_adjust_pl on a single packed uint32 input buffer."""
+    off = [0]
+
+    def take(n):
+        v = jax.lax.dynamic_slice(flat, (off[0],), (n,))
+        off[0] += n
+        return v
+
+    f = lambda v, *s: jax.lax.bitcast_convert_type(v, jnp.float32).reshape(*s)  # noqa: E731
+    ii = lambda v: v.astype(jnp.int32)  # noqa: E731
+    bb = lambda v: v > 0  # noqa: E731
+    R = f(take(C * 9), C, 3, 3)
+    t = f(take(C * 3), C, 3)
+    cam_fixed = bb(take(C))
+    points = f(take(P * 3), P, 3)
+    point_valid = bb(take(P))
+    obs_cam = ii(take(O))
+    obs_lm = ii(take(O))
+    obs_uvur = f(take(O * 3), O, 3)
+    obs_oct = ii(take(O))
+    obs_valid = bb(take(O))
+    U0 = f(take(L * 9), L, 3, 3)
+    w0 = f(take(L * 2), L, 2)
+    lval = bb(take(L))
+    lobs_cam = ii(take(Ol))
+    lobs_ln = ii(take(Ol))
+    lobs_a = f(take(Ol * 2), Ol, 2)
+    lobs_b = f(take(Ol * 2), Ol, 2)
+    lobs_valid = bb(take(Ol))
+    return bundle_adjust_pl.__wrapped__(
+        R, t, cam_fixed, points, point_valid,
+        obs_cam, obs_lm, obs_uvur, obs_oct, obs_valid,
+        U0, w0, lval,
+        lobs_cam, lobs_ln, lobs_a, lobs_b,
+        jnp.zeros(Ol, jnp.int32), lobs_valid,
+        cam, scale_factor,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cam", "scale_factor", "iters1", "iters2"),

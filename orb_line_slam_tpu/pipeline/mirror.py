@@ -64,6 +64,20 @@ def pack_delta(store, ids: np.ndarray, bucket_min: int = 256) -> np.ndarray:
     return out
 
 
+def pack_delta_pos(store, ids: np.ndarray, bucket_min: int = 256) -> np.ndarray:
+    """uint32 [B, 4] pos-only delta rows (id | pos x3): BA write-back
+    moves positions without touching descriptors/stats, and at ~30 MB/s
+    tunnel uplink the 19-word full row is 5x the bytes for nothing."""
+    n = len(ids)
+    cap = max(bucket_min, 1 << (max(n, 1) - 1).bit_length())
+    out = np.empty((cap, 4), np.uint32)
+    out[:, 0] = _PAD_ID
+    if n:
+        out[:n, 0] = ids.astype(np.uint32)
+        out[:n, 1:4] = store.pt_pos[ids].astype(np.float32, copy=True).view(np.uint32)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # device-side unpacking
 # ---------------------------------------------------------------------------
@@ -109,6 +123,17 @@ def mirror_apply(mir: MapMirror, delta_u32) -> MapMirror:
         mind=mir.mind.at[idx].set(mind, mode="drop"),
         normal=mir.normal.at[idx].set(normal, mode="drop"),
     )
+
+
+@jax.jit
+def mirror_apply_pos(mir: MapMirror, delta_u32) -> MapMirror:
+    """Scatter pos-only delta rows into the device mirror."""
+    P = mir.pos.shape[0]
+    ids = delta_u32[:, 0]
+    idx = jnp.where(ids >= jnp.uint32(P), jnp.int32(P + 1),
+                    ids.astype(jnp.int32))
+    pos = jax.lax.bitcast_convert_type(delta_u32[:, 1:4], jnp.float32)
+    return mir._replace(pos=mir.pos.at[idx].set(pos, mode="drop"))
 
 
 # ---------------------------------------------------------------------------

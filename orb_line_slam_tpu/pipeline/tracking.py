@@ -556,7 +556,14 @@ class Tracker:
         only host-dirty rows (pipeline/mirror.py); ref-KF feature tables
         reuse the keyframe's device Frame when available; ref slots +
         local-map snapshot ids ride one small int32 upload."""
-        from .mirror import mirror_apply, mirror_from_flat, pack_delta, pack_full
+        from .mirror import (
+            mirror_apply,
+            mirror_apply_pos,
+            mirror_from_flat,
+            pack_delta,
+            pack_delta_pos,
+            pack_full,
+        )
 
         _t0 = time.perf_counter()
         m = self.map
@@ -580,13 +587,17 @@ class Tracker:
         # (local BA dirties up to local_points=8192 rows per apply; the
         # delta path stays ~6x cheaper than a full table upload until
         # a third of the table changed)
-        all_dirty, dirty = m.pop_dirty_pts()
+        all_dirty, dirty, dirty_pos = m.pop_dirty_pts()
         if self._mir is None or all_dirty or len(dirty) > m.P // 3:
             pt = mirror_from_flat(jnp.asarray(pack_full(m)))
-        elif len(dirty):
-            pt = mirror_apply(self._mir["pt"], jnp.asarray(pack_delta(m, dirty)))
         else:
             pt = self._mir["pt"]
+            if len(dirty):
+                pt = mirror_apply(pt, jnp.asarray(pack_delta(m, dirty)))
+            if len(dirty_pos):
+                pt = mirror_apply_pos(
+                    pt, jnp.asarray(pack_delta_pos(m, dirty_pos))
+                )
 
         # --- ref tables + snapshot ids: one int32 upload ---
         aux = np.concatenate([
@@ -1123,6 +1134,30 @@ class Tracker:
         self.mark_map_dirty()
         self.timing.add("kf_event_total", time.perf_counter() - _t0)
 
+    def warmup_mirror(self):
+        """Pre-load the compiled mirror-refresh programs for EVERY delta
+        bucket the pow2 ladder can produce.  Each first-use of a bucket
+        in a fresh process pays ~0.5 s of compile-cache load through the
+        tunnel — measured to dominate the whole pipeline when it lands
+        inside a bench window (round-3's 2.74 fps was largely this)."""
+        from .mirror import (
+            mirror_apply, mirror_apply_pos, mirror_from_flat,
+        )
+
+        m = self.map
+        flat = np.zeros((m.P, 18), np.uint32)
+        mir = mirror_from_flat(jnp.asarray(flat))
+        # Buckets beyond local_points+slack never occur in steady state
+        # (larger dirty sets take the full-refresh branch).
+        b = 256
+        while b <= min(m.P, 16384):
+            dl = np.full((b, 19), 0xFFFFFFFF, np.uint32)
+            dp = np.full((b, 4), 0xFFFFFFFF, np.uint32)
+            mir = mirror_apply(mir, jnp.asarray(dl))
+            mir = mirror_apply_pos(mir, jnp.asarray(dp))
+            b *= 2
+        jax.block_until_ready(mir.pos)
+
     def warmup_ba(self):
         """Pre-trace/compile the local-BA device program for every
         steady-state shape combo the observation/point buckets can
@@ -1133,7 +1168,9 @@ class Tracker:
         mc = self.cfg.map
         cam = self.cfg.camera
         C = 24
-        combos = [(4096, 12288), (4096, 16384), (8192, 16384)]
+        # Full cross product of the P and O bucket ladders (ADVICE r3
+        # #3: a dense window can pair P=8192 with O=12288).
+        combos = [(4096, 12288), (4096, 16384), (8192, 12288), (8192, 16384)]
         for P, O in combos:
             if P > mc.local_points or O > (mc.local_window + 16) * 512:
                 continue
@@ -1147,19 +1184,17 @@ class Tracker:
                 jnp.zeros(O, bool),
             )
             if self.cfg.lines.enabled:
-                from ..backend.line_ba import bundle_adjust_pl
+                from ..backend.line_ba import bundle_adjust_pl_flat
 
                 Lc = self.cfg.lines.n_lines
                 Lo = Lc * 8
-                res = bundle_adjust_pl(
-                    *args,
-                    jnp.tile(jnp.eye(3, dtype=jnp.float32), (Lc, 1, 1)),
-                    jnp.ones((Lc, 2), jnp.float32), jnp.zeros(Lc, bool),
-                    jnp.zeros(Lo, jnp.int32), jnp.zeros(Lo, jnp.int32),
-                    jnp.zeros((Lo, 2), jnp.float32),
-                    jnp.zeros((Lo, 2), jnp.float32),
-                    jnp.zeros(Lo, jnp.int32), jnp.zeros(Lo, bool),
-                    cam, self.cfg.orb.scale_factor,
+                n_words = (
+                    C * 13 + P * 4 + O * 7 + Lc * 12 + Lo * 7
+                )
+                res = bundle_adjust_pl_flat(
+                    jnp.zeros(n_words, jnp.uint32),
+                    C=C, P=P, O=O, L=Lc, Ol=Lo,
+                    cam=cam, scale_factor=self.cfg.orb.scale_factor,
                 )
             else:
                 res = bundle_adjust(*args, cam, self.cfg.orb.scale_factor)
@@ -1172,20 +1207,21 @@ class Tracker:
         tracking loop never blocks on mapping, the property the
         reference gets from its LocalMapping pthread (SURVEY §7.2 #4)."""
         mc = self.cfg.map
-        pack = self.map.pack_local_ba(
-            center_kf,
-            max_cams=mc.local_window + 16,
-            max_points=mc.local_points,
-            max_obs=(mc.local_window + 16) * 512,
-        )
-        lpack = None
-        if self.cfg.lines.enabled:
-            lpack = self.map.pack_line_obs(
-                pack["cam_ids"], max_lines=self.cfg.lines.n_lines,
-                max_lobs=self.cfg.lines.n_lines * 8,
+        with self.timing.stage("ba_pack_host"):
+            pack = self.map.pack_local_ba(
+                center_kf,
+                max_cams=mc.local_window + 16,
+                max_points=mc.local_points,
+                max_obs=(mc.local_window + 16) * 512,
             )
+            lpack = None
+            if self.cfg.lines.enabled:
+                lpack = self.map.pack_line_obs(
+                    pack["cam_ids"], max_lines=self.cfg.lines.n_lines,
+                    max_lobs=self.cfg.lines.n_lines * 8,
+                )
         if lpack is not None:
-            from ..backend.line_ba import bundle_adjust_pl
+            from ..backend.line_ba import bundle_adjust_pl_flat, pack_pl_inputs
             from ..geometry.host import (
                 northonormal_from_pluecker,
                 npluecker_from_endpoints,
@@ -1204,21 +1240,15 @@ class Tracker:
             U0, w0 = northonormal_from_pluecker(
                 *npluecker_from_endpoints(s_w, e_w)
             )
-            U0 = jnp.asarray(U0)
-            w0 = jnp.asarray(w0)
-            res = bundle_adjust_pl(
-                jnp.asarray(pack["R"]), jnp.asarray(pack["t"]),
-                jnp.asarray(pack["cam_fixed"]),
-                jnp.asarray(pack["points"]), jnp.asarray(pack["point_valid"]),
-                jnp.asarray(pack["obs_cam"]), jnp.asarray(pack["obs_lm"]),
-                jnp.asarray(pack["obs_uvur"]), jnp.asarray(pack["obs_oct"]),
-                jnp.asarray(pack["obs_valid"]),
-                U0, w0, jnp.asarray(lval),
-                jnp.asarray(lpack["lobs_cam"]), jnp.asarray(lpack["lobs_ln"]),
-                jnp.asarray(lpack["lobs_a"]), jnp.asarray(lpack["lobs_b"]),
-                jnp.zeros(len(lpack["lobs_cam"]), jnp.int32),
-                jnp.asarray(lpack["lobs_valid"]),
-                self.cfg.camera, self.cfg.orb.scale_factor,
+            # ONE packed upload for all solver inputs (~20 small
+            # transfers cost ~75 ms/keyframe through the tunnel).
+            flat = pack_pl_inputs(pack, lpack, U0, w0, lval)
+            res = bundle_adjust_pl_flat(
+                jnp.asarray(flat),
+                C=pack["R"].shape[0], P=pack["points"].shape[0],
+                O=pack["obs_cam"].shape[0], L=Lc,
+                Ol=lpack["lobs_cam"].shape[0],
+                cam=self.cfg.camera, scale_factor=self.cfg.orb.scale_factor,
             )
         else:
             res = bundle_adjust(

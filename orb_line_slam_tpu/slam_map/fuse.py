@@ -249,6 +249,10 @@ def dispatch_fuse(store, kf: int, neighbor_ids, cam, level_scales,
         jnp.asarray(store.kf_R[kf]), jnp.asarray(store.kf_t[kf]),
         cam, tuple(level_scales),
     )
+    try:
+        packed.copy_to_host_async()  # land on host while the host works
+    except AttributeError:
+        pass
     return {
         "kf": kf, "neighbors": neighbor_ids, "own": own_p, "n_own": len(own),
         "pool": pool_p, "n_pool": len(pooled), "packed": packed,

@@ -86,8 +86,14 @@ class MapStore:
         self._covis_cache = (-1, None)
         self._counts_cache = (-1, None)
 
-        # landmark rows mutated since the last device-mirror refresh
+        # landmark rows mutated since the last device-mirror refresh.
+        # Two classes: full-row (new/culled/desc/stats changes) and
+        # pos-only (BA write-back moves positions but leaves descriptors
+        # and stats alone) — pos-only delta rows are 4 words instead of
+        # 19, and the tunnel uplink is ~30 MB/s, so the split is worth
+        # ~5x on the dominant refresh class.
         self._dirty_pts = np.zeros(P, bool)
+        self._dirty_pos = np.zeros(P, bool)
         self._all_dirty = True
 
         # --- 3D line segments (MapLine analog, SURVEY.md §2.1 row 8) ---
@@ -118,22 +124,25 @@ class MapStore:
         External writers (tracking/fuse/triangulation) MUST call this."""
         self._obs_epoch += 1
 
-    def mark_pts_dirty(self, ids):
-        """Record landmark rows whose mirror fields changed (pos, desc,
-        normal, scale range, validity)."""
-        self._dirty_pts[np.asarray(ids, np.int64)] = True
+    def mark_pts_dirty(self, ids, pos_only: bool = False):
+        """Record landmark rows whose mirror fields changed.  pos_only
+        marks rows where ONLY the position moved (BA write-back)."""
+        tgt = self._dirty_pos if pos_only else self._dirty_pts
+        tgt[np.asarray(ids, np.int64)] = True
 
     def mark_all_pts_dirty(self):
         """Bulk rewrite (loop correction, GBA): force a full refresh."""
         self._all_dirty = True
 
     def pop_dirty_pts(self):
-        """(all_dirty, ids) — and reset the dirty set."""
+        """(all_dirty, full_ids, pos_ids) — and reset the dirty sets."""
         all_dirty = self._all_dirty
-        ids = np.nonzero(self._dirty_pts)[0]
+        full = np.nonzero(self._dirty_pts)[0]
+        pos = np.nonzero(self._dirty_pos & ~self._dirty_pts)[0]
         self._dirty_pts[:] = False
+        self._dirty_pos[:] = False
         self._all_dirty = False
-        return all_dirty, ids
+        return all_dirty, full, pos
 
     def _valid_kf_rows(self):
         return np.nonzero(self.kf_valid[: self._next_kf])[0]
@@ -886,7 +895,7 @@ class MapStore:
         lm_live = self.pt_valid[lm_ids] & (self.pt_gen[lm_ids] == pack["lm_gens"])
         lm_w = lm_ids[lm_live]
         self.pt_pos[lm_w] = np.asarray(result.points)[: len(lm_ids)][lm_live]
-        self.mark_pts_dirty(lm_w)
+        self.mark_pts_dirty(lm_w, pos_only=True)
         inl = np.asarray(result.obs_inlier)
         n_obs = pack["n_obs"]
         obs_live = cam_live[pack["obs_cam"][:n_obs]]

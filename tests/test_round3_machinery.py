@@ -126,7 +126,7 @@ def test_mirror_delta_matches_full_rebuild():
     s.pt_desc[ids[5]] = 255
     s.pt_valid[ids[7]] = False
     s.mark_pts_dirty(np.asarray([ids[3], ids[5], ids[7]]))
-    _, dirty = s.pop_dirty_pts()
+    _, dirty, _ = s.pop_dirty_pts()
     mir2 = mirror_apply(mir, jnp.asarray(pack_delta(s, dirty)))
     ref = mirror_from_flat(jnp.asarray(pack_full(s)))
     for a, b in zip(mir2, ref):

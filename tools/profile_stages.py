@@ -57,6 +57,7 @@ def main():
     for i in range(warmup):
         step(i)
     tracker.warmup_ba()
+    tracker.warmup_mirror()
     tracker.timing.reset()
     t0 = time.perf_counter()
     for i in range(warmup, n_frames):
