@@ -87,32 +87,55 @@ def _line_res_jacs(line_fn, R, t, U, w, lobs_cam, lobs_ln, lobs_a, lobs_b):
     return jax.vmap(per_obs)(Ro, to, Uo, wo, lobs_a, lobs_b)
 
 
+# Fixed-point pixel quantum for packed observations: 1/16 px, far below
+# the ~0.3 px detector noise the solver already absorbs.
+_UV_Q = 16.0
+# uR rides with a +32 px offset so the mono sentinel (-1) stays positive.
+_UR_OFF = 32.0
+
+
 def pack_pl_inputs(pack, lpack, U0, w0, lval):
     """Flatten every bundle_adjust_pl input into ONE uint32 buffer.
 
     Dispatching the solver as ~20 separate jnp.asarray uploads costs
     ~75 ms/call through the axon tunnel (each small transfer pays its
     own round-trip under load); one buffer + a device-side unpack is a
-    single transfer.  Layout mirrors unpack inside
-    bundle_adjust_pl_flat — both derive offsets from the same static
-    (C, P, O, L, Ol) so they cannot drift."""
+    single transfer.  Observations pack to 3 words each (code word:
+    cam 5 bits | lm 14 | oct 3 | valid 1; u,v and uR as 1/16-px
+    fixed point) — the obs block dominates the buffer and uplink runs
+    ~30 MB/s.  Layout mirrors bundle_adjust_pl_flat's unpack — both
+    derive offsets from the same static (C, P, O, L, Ol)."""
     import numpy as np
 
     u = lambda a: np.ascontiguousarray(a).view(np.uint32).ravel()  # noqa: E731
-    i = lambda a: np.ascontiguousarray(a.astype(np.int32)).view(np.uint32).ravel()  # noqa: E731
     b = lambda a: a.astype(np.uint32).ravel()  # noqa: E731
+
+    code = (
+        pack["obs_cam"].astype(np.uint32)
+        | (pack["obs_lm"].astype(np.uint32) << 5)
+        | (np.clip(pack["obs_oct"], 0, 7).astype(np.uint32) << 19)
+        | (pack["obs_valid"].astype(np.uint32) << 22)
+    )
+    uv = np.clip(pack["obs_uvur"][:, :2] * _UV_Q, 0, 65535).astype(np.uint32)
+    uv_w = uv[:, 0] | (uv[:, 1] << 16)
+    ur_w = np.clip(
+        (pack["obs_uvur"][:, 2] + _UR_OFF) * _UV_Q, 0, 65535
+    ).astype(np.uint32)
+
+    lcode = (
+        lpack["lobs_cam"].astype(np.uint32)
+        | (lpack["lobs_ln"].astype(np.uint32) << 5)
+        | (lpack["lobs_valid"].astype(np.uint32) << 22)
+    )
+    la = np.clip(lpack["lobs_a"] * _UV_Q, 0, 65535).astype(np.uint32)
+    lb = np.clip(lpack["lobs_b"] * _UV_Q, 0, 65535).astype(np.uint32)
     parts = [
         u(pack["R"].astype(np.float32)), u(pack["t"].astype(np.float32)),
         b(pack["cam_fixed"]),
         u(pack["points"].astype(np.float32)), b(pack["point_valid"]),
-        i(pack["obs_cam"]), i(pack["obs_lm"]),
-        u(pack["obs_uvur"].astype(np.float32)), i(pack["obs_oct"]),
-        b(pack["obs_valid"]),
+        code, uv_w, ur_w,
         u(U0.astype(np.float32)), u(w0.astype(np.float32)), b(lval),
-        i(lpack["lobs_cam"]), i(lpack["lobs_ln"]),
-        u(lpack["lobs_a"].astype(np.float32)),
-        u(lpack["lobs_b"].astype(np.float32)),
-        b(lpack["lobs_valid"]),
+        lcode, la[:, 0] | (la[:, 1] << 16), lb[:, 0] | (lb[:, 1] << 16),
     ]
     return np.concatenate(parts)
 
@@ -130,27 +153,46 @@ def bundle_adjust_pl_flat(flat, C, P, O, L, Ol, cam, scale_factor=1.2):
         return v
 
     f = lambda v, *s: jax.lax.bitcast_convert_type(v, jnp.float32).reshape(*s)  # noqa: E731
-    ii = lambda v: v.astype(jnp.int32)  # noqa: E731
     bb = lambda v: v > 0  # noqa: E731
     R = f(take(C * 9), C, 3, 3)
     t = f(take(C * 3), C, 3)
     cam_fixed = bb(take(C))
     points = f(take(P * 3), P, 3)
     point_valid = bb(take(P))
-    obs_cam = ii(take(O))
-    obs_lm = ii(take(O))
-    obs_uvur = f(take(O * 3), O, 3)
-    obs_oct = ii(take(O))
-    obs_valid = bb(take(O))
+    code = take(O)
+    obs_cam = (code & 0x1F).astype(jnp.int32)
+    obs_lm = ((code >> 5) & 0x3FFF).astype(jnp.int32)
+    obs_oct = ((code >> 19) & 0x7).astype(jnp.int32)
+    obs_valid = ((code >> 22) & 1) > 0
+    uv_w = take(O)
+    ur_w = take(O)
+    q = jnp.float32(1.0 / _UV_Q)
+    obs_uvur = jnp.stack(
+        [
+            (uv_w & 0xFFFF).astype(jnp.float32) * q,
+            (uv_w >> 16).astype(jnp.float32) * q,
+            ur_w.astype(jnp.float32) * q - _UR_OFF,
+        ],
+        axis=-1,
+    )
     U0 = f(take(L * 9), L, 3, 3)
     w0 = f(take(L * 2), L, 2)
     lval = bb(take(L))
-    lobs_cam = ii(take(Ol))
-    lobs_ln = ii(take(Ol))
-    lobs_a = f(take(Ol * 2), Ol, 2)
-    lobs_b = f(take(Ol * 2), Ol, 2)
-    lobs_valid = bb(take(Ol))
-    return bundle_adjust_pl.__wrapped__(
+    lcode = take(Ol)
+    lobs_cam = (lcode & 0x1F).astype(jnp.int32)
+    lobs_ln = ((lcode >> 5) & 0x3FFF).astype(jnp.int32)
+    lobs_valid = ((lcode >> 22) & 1) > 0
+    la_w = take(Ol)
+    lb_w = take(Ol)
+    lobs_a = jnp.stack(
+        [(la_w & 0xFFFF).astype(jnp.float32) * q,
+         (la_w >> 16).astype(jnp.float32) * q], axis=-1,
+    )
+    lobs_b = jnp.stack(
+        [(lb_w & 0xFFFF).astype(jnp.float32) * q,
+         (lb_w >> 16).astype(jnp.float32) * q], axis=-1,
+    )
+    res = bundle_adjust_pl.__wrapped__(
         R, t, cam_fixed, points, point_valid,
         obs_cam, obs_lm, obs_uvur, obs_oct, obs_valid,
         U0, w0, lval,
@@ -158,6 +200,32 @@ def bundle_adjust_pl_flat(flat, C, P, O, L, Ol, cam, scale_factor=1.2):
         jnp.zeros(Ol, jnp.int32), lobs_valid,
         cam, scale_factor,
     )
+    # Flatten the result INSIDE this program: a separate packing
+    # dispatch was measured to block ~70 ms through the tunnel at the
+    # System's queue state; fused here it is free.
+    flat_out = jnp.concatenate(
+        [jnp.asarray(l, jnp.float32).ravel()
+         for l in jax.tree_util.tree_leaves(res)]
+    )
+    return res, flat_out
+
+
+def pl_result_layout(C, P, O, L, Ol):
+    """(treedef, shapes) of PLBAResult for host-side unpacking of the
+    fused flat result (mirrors PLBAResult field order)."""
+    import numpy as np
+
+    proto = PLBAResult(
+        R=np.zeros((C, 3, 3), np.float32), t=np.zeros((C, 3), np.float32),
+        points=np.zeros((P, 3), np.float32),
+        line_U=np.zeros((L, 3, 3), np.float32),
+        line_w=np.zeros((L, 2), np.float32),
+        obs_inlier=np.zeros(O, bool), lobs_inlier=np.zeros(Ol, bool),
+        chi2=np.float32(0.0),
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(proto)
+    shapes = [(tuple(np.shape(l)), np.dtype(np.asarray(l).dtype)) for l in leaves]
+    return treedef, shapes
 
 
 @functools.partial(

@@ -1189,9 +1189,9 @@ class Tracker:
                 Lc = self.cfg.lines.n_lines
                 Lo = Lc * 8
                 n_words = (
-                    C * 13 + P * 4 + O * 7 + Lc * 12 + Lo * 7
+                    C * 13 + P * 4 + O * 3 + Lc * 12 + Lo * 3
                 )
-                res = bundle_adjust_pl_flat(
+                res, _flat = bundle_adjust_pl_flat(
                     jnp.zeros(n_words, jnp.uint32),
                     C=C, P=P, O=O, L=Lc, Ol=Lo,
                     cam=cam, scale_factor=self.cfg.orb.scale_factor,
@@ -1241,15 +1241,21 @@ class Tracker:
                 *npluecker_from_endpoints(s_w, e_w)
             )
             # ONE packed upload for all solver inputs (~20 small
-            # transfers cost ~75 ms/keyframe through the tunnel).
+            # transfers cost ~75 ms/keyframe through the tunnel), and the
+            # result flattened INSIDE the solver program (a separate
+            # flatten dispatch blocked ~70 ms at the System's queue
+            # state); host unpack layout derives from the same statics.
+            from ..backend.line_ba import pl_result_layout
+
             flat = pack_pl_inputs(pack, lpack, U0, w0, lval)
-            res = bundle_adjust_pl_flat(
-                jnp.asarray(flat),
-                C=pack["R"].shape[0], P=pack["points"].shape[0],
-                O=pack["obs_cam"].shape[0], L=Lc,
-                Ol=lpack["lobs_cam"].shape[0],
+            C, P = pack["R"].shape[0], pack["points"].shape[0]
+            O, Ol = pack["obs_cam"].shape[0], lpack["lobs_cam"].shape[0]
+            _, flat_out = bundle_adjust_pl_flat(
+                jnp.asarray(flat), C=C, P=P, O=O, L=Lc, Ol=Ol,
                 cam=self.cfg.camera, scale_factor=self.cfg.orb.scale_factor,
             )
+            treedef, shapes = pl_result_layout(C, P, O, Lc, Ol)
+            fetch = (flat_out, treedef, shapes)
         else:
             res = bundle_adjust(
                 jnp.asarray(pack["R"]), jnp.asarray(pack["t"]), jnp.asarray(pack["cam_fixed"]),
@@ -1259,9 +1265,9 @@ class Tracker:
                 jnp.asarray(pack["obs_valid"]), self.cfg.camera,
                 self.cfg.orb.scale_factor,
             )
-        # ONE packed device buffer for the whole result: fetching the
-        # raw NamedTuple costs one ~22 ms tunnel round-trip per leaf.
-        fetch = _pack_for_fetch(res)
+            # ONE packed device buffer for the whole result: fetching the
+            # raw NamedTuple costs one tunnel round-trip per leaf.
+            fetch = _pack_for_fetch(res)
         if defer:
             self._pending_ba = (pack, lpack, fetch, center_kf)
             self._pending_ba_t = time.monotonic()

@@ -44,7 +44,7 @@ def main():
     if use_system:
         from orb_line_slam_tpu.pipeline.system import System
 
-        sysm = System(cfg)
+        sysm = System(cfg, async_loop=("--syncloop" not in sys.argv))
         tracker = sysm.tracker
         step = lambda i: sysm.track_stereo(*frames[i], timestamp=0.1 * i)  # noqa: E731
     else:
