@@ -209,6 +209,7 @@ def _bench_ate(cam, n_frames: int = 240):
     frames = [scene.render_stereo(R, t) for R, t in poses]
     sysm = System(cfg, async_loop=False)
     sysm.tracker.async_mapping = False
+    sysm.tracker.pipeline_depth = 0  # deterministic consume order
     sysm.gba_async = False
     for i, (l, r) in enumerate(frames):
         sysm.track_stereo(l, r, timestamp=0.1 * i)

@@ -39,14 +39,15 @@ class System:
             settings if isinstance(settings, SlamConfig) else load_settings(settings)
         )
         self.tracker = Tracker(self.cfg)
-        # pipeline_depth (consume lag) measured on-chip at 0/1/2 with
-        # the async mapping chain: the packed fetch is already cheap
-        # (the device queue, not the fetch RTT, is the bottleneck), and
-        # each frame of lag makes post-keyframe frames track against a
-        # stale mirror — ATE 0.074 -> 0.28 m on the 48-frame synthetic
-        # loop for ~7% throughput.  Keep 0; the queue machinery stays
-        # available for latency-tolerant configurations.
-        self.tracker.pipeline_depth = 0
+        # pipeline_depth (consume lag) re-measured on-chip at 0/1/2
+        # after the round-4 dispatch-path cuts: depth 1 overlaps the
+        # packed fetch with the next frame's device compute for
+        # 8.4 -> 13.6 fps at EQUAL-or-better ATE (0.118 -> 0.104 m on
+        # the 120-frame synthetic arc; the r3 staleness penalty came
+        # from slow mirror/BA applies, since fixed).  Depth 2 buys
+        # ~15% more throughput but measurably hurts ATE (0.17 m) —
+        # post-keyframe frames track a two-frame-stale mirror.
+        self.tracker.pipeline_depth = 1
         self.voc: Optional[Vocabulary] = None
         if isinstance(vocabulary, Vocabulary):
             self.voc = vocabulary
