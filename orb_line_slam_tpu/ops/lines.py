@@ -35,6 +35,18 @@ import jax.numpy as jnp
 
 from .image import bilinear_sample, gaussian_blur, sobel_gradients
 
+
+def _nearest_sample(img, xy):
+    """Nearest-neighbour multi-channel sample: ONE gather instead of
+    bilinear's four.  The endpoint walk only thresholds the sampled
+    fields (edge > 0.25, angle cone), so sub-pixel interpolation buys
+    nothing there — measured 4x cheaper on the gather-bound walk."""
+    h, w = img.shape[0], img.shape[1]
+    flat = img.reshape(h * w, -1) if img.ndim == 3 else img.reshape(-1)
+    x = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, h - 1)
+    return jnp.take(flat, y * w + x, axis=0)
+
 WALK_STEPS = 80      # walk samples per direction (x WALK_STRIDE px reach)
 WALK_STRIDE = 2.0    # px between walk samples: the sub-pixel refit below
                      # recovers endpoint accuracy, so sampling every
@@ -109,7 +121,7 @@ def detect_lines(
 
     def walk(direction_sign, theta, dxy):
         pts = centers[:, None, :] + direction_sign * dxy[:, None, :] * steps[None, :, None]
-        s = bilinear_sample(field, pts)              # [L, S, 3]
+        s = _nearest_sample(field, pts)              # [L, S, 3]
         e = s[..., 0] > 0.25
         # Angle gate, normalized: cos(2(angle-theta)) > 0.5 = within
         # pi/6 of theta.  Normalizing by the sampled magnitude removes
@@ -168,6 +180,7 @@ def detect_lines(
     def polish(p, outward):
         pts = p[:, None, :] + outward[:, None, :] * polish_off[None, :, None]
         s = bilinear_sample(field, pts)                        # [L, 13, 3]
+        # (bilinear here: the polish IS the sub-pixel stage)
         nrm2 = jnp.sqrt(s[..., 1] ** 2 + s[..., 2] ** 2) + 1e-6
         cos2 = (
             s[..., 1] * jnp.cos(2 * theta)[:, None]
@@ -197,7 +210,7 @@ def detect_lines(
         d01 = p1 - p0
         th = jnp.arctan2(d01[:, 1], d01[:, 0])
         nrm = jnp.stack([-jnp.sin(th), jnp.cos(th)], axis=-1)
-        base = p0[:, None, :] + d01[:, None, :] * ts_ref[None, :, None]  # [L,32,2]
+        base = p0[:, None, :] + d01[:, None, :] * ts_ref[None, :, None]  # [L,16,2]
         samp = (
             base[:, :, None, :]
             + nrm[:, None, None, :] * perp_off[None, None, :, None]
