@@ -89,6 +89,13 @@ class SyntheticScene:
                         ]
                     )
                 )
+        # Optional per-frame sensor noise (sigma in gray levels): the
+        # noise field is independent per render call, which is what
+        # degrades frame-to-frame matching the way a real sensor does —
+        # the noise-free renderer tracks at ~0.2% drift, too clean to
+        # exercise loop closure.
+        self.noise_sigma = 0.0
+        self._noise_calls = 0
         self.lines = None
         if n_lines:
             starts = rng.uniform(lo, hi, size=(n_lines, 3))
@@ -208,6 +215,14 @@ class SyntheticScene:
                     2,
                     cv2.LINE_8,
                 )
+        if self.noise_sigma > 0.0:
+            nrng = np.random.default_rng(977 + self._noise_calls)
+            self._noise_calls += 1
+            img = np.clip(
+                img.astype(np.float32)
+                + nrng.normal(0.0, self.noise_sigma, img.shape),
+                0, 255,
+            ).astype(np.uint8)
         return img
 
 

@@ -107,7 +107,12 @@ class System:
             if total < 600 and len(self._voc_corpus) < 3:
                 return
             corpus = np.concatenate(self._voc_corpus)[:20000]
-            self.voc = Vocabulary.train(corpus, k=10, depth=3, seed=0)
+            # depth 4 -> 10^4 leaves: the 10^3-word tree was measured to
+            # alias heavily on self-similar scenes — BoW candidates fired
+            # a (always-failing, ~0.5 s) Sim3 attempt at nearly EVERY
+            # keyframe and picked wrong winners at true revisits.  The
+            # reference ships a 10^6-leaf vocabulary for the same reason.
+            self.voc = Vocabulary.train(corpus, k=10, depth=4, seed=0)
             self._voc_corpus = []
         if self.loop_closer is None:
             self.loop_closer = LoopCloser(self.cfg, self.tracker.map, self.voc)
@@ -131,9 +136,13 @@ class System:
     def _reloc_candidates(self, frame):
         if self.loop_closer is None:
             return []
-        return self.loop_closer.db.detect_relocalization_candidates(
-            np.asarray(frame.desc), np.asarray(frame.valid)
-        )
+        # _db_lock: the async detection worker mutates the inverted
+        # index concurrently (ADVICE r3 #2 — a candidate could be
+        # popped from db.bow between gather and score).
+        with self.loop_closer._db_lock:
+            return self.loop_closer.db.detect_relocalization_candidates(
+                np.asarray(frame.desc), np.asarray(frame.valid)
+            )
 
     # ------------------------------------------------------------------
     def activate_localization_mode(self):
@@ -147,6 +156,8 @@ class System:
         self.tracker.localization_only = False
 
     def reset(self):
+        if self.loop_closer is not None:
+            self.loop_closer.stop()
         self.tracker = Tracker(self.cfg)
         self.tracker.on_keyframe = self._on_keyframe
         self.loop_closer = None
@@ -161,6 +172,7 @@ class System:
             if self.loop_closer.flush():
                 self.n_loops_closed += 1
             self.loop_closer.poll_global_ba(force=True)
+            self.loop_closer.stop()
 
     # ------------------------------------------------------------------
     def save_trajectory_kitti(self, path):

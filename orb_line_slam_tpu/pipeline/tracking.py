@@ -937,6 +937,14 @@ class Tracker:
 
     def _create_keyframe(self, e: _PipeEntry, n_inliers: int = 0):
         _t0 = time.perf_counter()
+        # Mutation window: the loop-detection worker snapshots map state
+        # under this lock (ADVICE r3 #1); RLock — nested applies and the
+        # loop-correction path re-enter freely.
+        with self.map.lock:
+            self._create_keyframe_locked(e, n_inliers)
+        self.timing.add("kf_event_total", time.perf_counter() - _t0)
+
+    def _create_keyframe_locked(self, e: _PipeEntry, n_inliers: int = 0):
         self._kf_epoch += 1
         cfg = self.cfg
         # ONE packed fetch: frame feature table + association + line
@@ -1132,7 +1140,6 @@ class Tracker:
             if not self.async_mapping:
                 self.poll_map_jobs(force=True)
         self.mark_map_dirty()
-        self.timing.add("kf_event_total", time.perf_counter() - _t0)
 
     def warmup_mirror(self):
         """Pre-load the compiled mirror-refresh programs for EVERY delta
@@ -1282,12 +1289,13 @@ class Tracker:
         packed, treedef, shapes = fetch
         with self.timing.stage("ba_apply"):
             res = _unpack_fetched(np.asarray(packed), treedef, shapes)
-            self.map.apply_ba_result(pack, res)
-        if lpack is not None:
-            self.map.apply_line_ba_result(
-                lpack, np.asarray(res.line_U), np.asarray(res.line_w),
-                np.asarray(res.lobs_inlier),
-            )
+            with self.map.lock:
+                self.map.apply_ba_result(pack, res)
+                if lpack is not None:
+                    self.map.apply_line_ba_result(
+                        lpack, np.asarray(res.line_U), np.asarray(res.line_w),
+                        np.asarray(res.lobs_inlier),
+                    )
         self.mark_map_dirty()
         if ride:
             # Current pose rides with the reference KF.
@@ -1352,7 +1360,7 @@ class Tracker:
                     except AttributeError:
                         pass
             self._map_jobs.pop(0)
-            with self.timing.stage("map_jobs_apply"):
+            with self.timing.stage("map_jobs_apply"), self.map.lock:
                 tri_ids = apply_triangulation(self.map, tri_job)
                 if len(tri_ids):
                     self.recent_lm.append(tri_ids)

@@ -26,6 +26,8 @@ pipeline spent ~99% of wall time here; VERDICT.md "What's weak" #3).
 
 from __future__ import annotations
 
+import threading
+
 import numpy as np
 
 from ..config import MapConfig
@@ -85,6 +87,12 @@ class MapStore:
         self._obs_epoch = 0
         self._covis_cache = (-1, None)
         self._counts_cache = (-1, None)
+
+        # Writer lock: the loop-detection worker thread snapshots map
+        # state under this lock while the tracking thread holds it
+        # across mutation windows (ADVICE r3 #1 — generation stamps
+        # catch cull/recycle but not torn mixed-state reads).
+        self.lock = threading.RLock()
 
         # landmark rows mutated since the last device-mirror refresh.
         # Two classes: full-row (new/culled/desc/stats changes) and
@@ -877,8 +885,10 @@ class MapStore:
         if len(bad):
             self.kf_ln_obs[lpack["lobs_kf"][bad], lpack["lobs_slot"][bad]] = -1
 
-    def apply_ba_result(self, pack, result):
-        """Write back optimized poses/points; erase outlier observations.
+    def apply_ba_result(self, pack, result, erase_outliers: bool = True):
+        """Write back optimized poses/points; erase outlier observations
+        (erase_outliers=False for the loop-closure global BA, which runs
+        robust single-stage and must not strip low-support keyframes).
 
         Rows whose slot was culled+recycled since pack time (generation
         mismatch) are skipped — the deferred solve would otherwise write
@@ -896,6 +906,8 @@ class MapStore:
         lm_w = lm_ids[lm_live]
         self.pt_pos[lm_w] = np.asarray(result.points)[: len(lm_ids)][lm_live]
         self.mark_pts_dirty(lm_w, pos_only=True)
+        if not erase_outliers:
+            return
         inl = np.asarray(result.obs_inlier)
         n_obs = pack["n_obs"]
         obs_live = cam_live[pack["obs_cam"][:n_obs]]
