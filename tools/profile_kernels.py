@@ -151,6 +151,10 @@ def main():
     bench("loop/BoW transform (2048 desc)",
           lambda: voc.dispatch_transform(descs),
           note="3-level batched 10-way Hamming descent")
+    voc100k = Vocabulary.synthesize(k=10, depth=5, seed=0)
+    bench("loop/BoW transform 10^5 words (2048 desc)",
+          lambda: voc100k.dispatch_transform(descs),
+          note="5-level descent, 100k-leaf synthesized tree")
 
     lines = [
         "# PROFILE — per-device-program kernel times (real chip)",
