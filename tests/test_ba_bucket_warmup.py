@@ -1,0 +1,50 @@
+"""Local-BA bucket-cliff regression (VERDICT r3 'next round' #7).
+
+pack_local_ba pads to bucketed (P, O) shapes; crossing the
+4096-live-landmark bucket mid-sequence used to retrace + recompile the
+point+line solver (~1.5 s host) inside measured windows.  warmup_ba()
+must pre-build EVERY combo the bucket ladders can produce so the
+crossing is a cache hit — asserted here via the jit cache size.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from orb_line_slam_tpu.config import LineConfig, MapConfig, OrbConfig, SlamConfig
+from orb_line_slam_tpu.geometry.camera import CameraIntrinsics
+from orb_line_slam_tpu.pipeline.tracking import Tracker
+
+CAM = CameraIntrinsics(
+    fx=400.0, fy=400.0, cx=320.0, cy=160.0, bf=160.0, width=640, height=320
+)
+
+
+def test_warmup_covers_every_bucket_combo():
+    cfg = SlamConfig(
+        camera=CAM,
+        orb=OrbConfig(n_features=512, n_levels=4),
+        lines=LineConfig(enabled=True, n_lines=128),
+        map=MapConfig(local_window=16, local_points=8192),
+    )
+    tracker = Tracker(cfg)
+    tracker.warmup_ba()
+
+    from orb_line_slam_tpu.backend.line_ba import bundle_adjust_pl_flat
+
+    n_compiled = bundle_adjust_pl_flat._cache_size()
+    # Every (P, O) combo the pack_local_ba ladders can produce under
+    # this config (P in {4096, 8192}, O in {12288, 16384}).
+    C, Lc = 24, cfg.lines.n_lines
+    Lo = Lc * 8
+    for P in (4096, 8192):
+        for O in (12288, 16384):
+            n_words = C * 13 + P * 4 + O * 3 + Lc * 12 + Lo * 3
+            bundle_adjust_pl_flat(
+                jnp.zeros(n_words, jnp.uint32),
+                C=C, P=P, O=O, L=Lc, Ol=Lo,
+                cam=CAM, scale_factor=cfg.orb.scale_factor,
+            )
+    assert bundle_adjust_pl_flat._cache_size() == n_compiled, (
+        "a bucket combo was not pre-compiled by warmup_ba: crossing it "
+        "mid-sequence would retrace the solver"
+    )

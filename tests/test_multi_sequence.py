@@ -1,0 +1,88 @@
+"""Batched multi-sequence TRACKING (BASELINE config #4, VERDICT r3 #5).
+
+Two different synthetic sequences tracked by ONE vmapped per-frame
+device program (front-end + fused track step with batched carries and
+per-sequence device map mirrors); each sequence's trajectory must match
+the single-sequence Tracker run on the same frames.
+"""
+
+import numpy as np
+import pytest
+
+from orb_line_slam_tpu.config import LineConfig, MapConfig, OrbConfig, SlamConfig
+from orb_line_slam_tpu.data.synthetic import SyntheticScene, circular_trajectory
+from orb_line_slam_tpu.geometry.camera import CameraIntrinsics
+from orb_line_slam_tpu.parallel.multi_sequence import MultiSequenceTracker
+from orb_line_slam_tpu.pipeline.tracking import Tracker
+
+CAM = CameraIntrinsics(
+    fx=400.0, fy=400.0, cx=320.0, cy=160.0, bf=160.0, width=640, height=320
+)
+CFG = SlamConfig(
+    camera=CAM,
+    orb=OrbConfig(n_features=512, n_levels=4),
+    lines=LineConfig(enabled=False),
+    map=MapConfig(max_keyframes=64, max_points=8192, local_window=8,
+                  local_points=2048),
+)
+N_FRAMES = 16
+
+
+def _make_sequences():
+    seqs = []
+    for seed in (3, 9):
+        scene = SyntheticScene(
+            CAM, n_points=500, seed=seed, extent=((-14, 14), (-6, 6), (6, 60))
+        )
+        poses = circular_trajectory(N_FRAMES, step=0.3)
+        seqs.append(([scene.render_stereo(R, t) for R, t in poses], poses))
+    return seqs
+
+
+@pytest.mark.slow
+def test_batched_tracking_matches_single_sequence():
+    seqs = _make_sequences()
+    B = len(seqs)
+
+    mst = MultiSequenceTracker(CFG, B)
+    for t in mst.trackers:
+        t.async_mapping = False
+        t.pipeline_depth = 0
+    n_batched = 0
+    for i in range(N_FRAMES):
+        ready_before = mst._ready()
+        mst.process_stereo(
+            [seqs[b][0][i][0] for b in range(B)],
+            [seqs[b][0][i][1] for b in range(B)],
+            [0.1 * i] * B,
+        )
+        n_batched += ready_before
+    for t in mst.trackers:
+        t.flush()
+    assert n_batched >= N_FRAMES // 2, (
+        f"batched steady state never engaged ({n_batched} batched frames)"
+    )
+
+    for b in range(B):
+        ref = Tracker(CFG)
+        ref.async_mapping = False
+        ref.pipeline_depth = 0
+        for i, (l, r) in enumerate(seqs[b][0]):
+            ref.process_stereo(l, r, timestamp=0.1 * i)
+        ref.flush()
+        est = np.stack(
+            [-R.T @ t for (_, _, R, t, _) in mst.trackers[b].final_trajectory()]
+        )
+        est_ref = np.stack(
+            [-R.T @ t for (_, _, R, t, _) in ref.final_trajectory()]
+        )
+        gt = np.stack([-R.T @ t for (R, t) in seqs[b][1]])
+        err_b = np.linalg.norm(est - gt, axis=1).max()
+        err_r = np.linalg.norm(est_ref - gt, axis=1).max()
+        assert mst.trackers[b].state == "OK"
+        # The batched program is numerically the same math; both runs
+        # must track with comparable accuracy on their own sequence.
+        assert err_b < 0.2, f"seq {b}: batched err {err_b:.3f}"
+        assert abs(err_b - err_r) < 0.15, (
+            f"seq {b}: batched {err_b:.3f} vs single {err_r:.3f}"
+        )
