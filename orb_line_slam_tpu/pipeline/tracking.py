@@ -114,6 +114,12 @@ class _PipeEntry:
     snap_host: np.ndarray         # snapshot global ids at dispatch time
     ln_ids: Optional[np.ndarray]  # mirror line ids at dispatch time
     kf_epoch: int = 0             # keyframe epoch at dispatch time
+    # pack_kf_event output, dispatched speculatively WITH the frame and
+    # async-copied: if this frame becomes a keyframe the ~180 KB event
+    # buffer is already on host (the blocking fetch cost ~35-60 ms per
+    # keyframe through the tunnel); if not, it cost ~1 ms of device
+    # time and an idle-link transfer.
+    kf_packed: object = None
 
 
 class Tracker:
@@ -209,11 +215,17 @@ class Tracker:
                     pass
             self.cur_frame = frame
             self.cur_lines = lf
+            kf_packed = pack_kf_event(frame, out)
+            try:
+                kf_packed.copy_to_host_async()
+            except AttributeError:
+                pass
             self._q.append(_PipeEntry(
                 fid=self.frame_id, ts=timestamp, frame=frame,
                 prev_frame=self._prev_for_dispatch, lines=lf,
                 out=out, snap_host=self._mir["snap_host"],
                 ln_ids=self._mir["ln_ids"], kf_epoch=self._kf_epoch,
+                kf_packed=kf_packed,
             ))
             while len(self._q) > self.pipeline_depth:
                 self._consume()
@@ -954,7 +966,10 @@ class Tracker:
         Lcap = e.out.ln_match_idx.shape[0]
         cap = e.out.found_acc.shape[0]
         with self.timing.stage("kf_event_fetch"):
-            buf = np.asarray(pack_kf_event(e.frame, e.out))
+            buf = np.asarray(
+                e.kf_packed if e.kf_packed is not None
+                else pack_kf_event(e.frame, e.out)
+            )
         fh, assoc, _inl, ln_idx, ln_mask, found, vis, ln_found, ln_vis = (
             unpack_kf_event(buf, e.frame.n, Lcap, cap)
         )
