@@ -152,6 +152,65 @@ def blur_tiles(tiles: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.n
     return out / norm[None]
 
 
+@functools.lru_cache()
+def _shift_blur_mats(sigma: float = 2.0, radius: int = 3):
+    """Three static f32 [32, 32] matrices (B@S-, B, B@S+) composing the
+    per-axis sub-pixel shift with the normalized Gaussian blur.
+
+    B is the zero-padded blur band row-normalized (identical to
+    conv+divide-by-conv(ones): the 2D normalizer separates into row
+    sums).  S-/S+ are 1-pixel shifts with edge clamp (shift_tiles pads
+    with mode="edge").  The bilinear shift is S(d) = w-*S- + w0*I +
+    w+*S+ per axis, so shift-then-blur per axis is the same weighted
+    combination of these three static matrices — which turns the whole
+    shift+blur+normalize stage into 6 static [32,32]x[32,N*32] MXU
+    matmuls instead of padded-slice VPU passes + a batched conv
+    (measured 2.3 ms -> ~0.8 ms at N=4000 on chip)."""
+    import numpy as np
+
+    from ..ops.image import _gaussian_taps
+
+    k = np.asarray(_gaussian_taps(sigma, radius), np.float32)
+    n = 32
+    B = np.zeros((n, n), np.float32)
+    for i in range(n):
+        for t in range(2 * radius + 1):
+            j = i + t - radius
+            if 0 <= j < n:
+                B[i, j] = k[t]
+    B /= B.sum(axis=1, keepdims=True)
+    Sm = np.zeros((n, n), np.float32)
+    Sp = np.zeros((n, n), np.float32)
+    for i in range(n):
+        Sm[i, max(i - 1, 0)] = 1.0
+        Sp[i, min(i + 1, n - 1)] = 1.0
+    return B @ Sm, B, B @ Sp
+
+
+def shift_blur_tiles(tiles: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    """Fused sub-pixel shift + normalized Gaussian blur of [N, 32, 32]
+    tiles (see _shift_blur_mats).  Equivalent to
+    blur_tiles(shift_tiles(tiles, delta)) up to f32 summation order."""
+    Am, A0, Ap = (jnp.asarray(m) for m in _shift_blur_mats())
+    hp = jax.lax.Precision.HIGHEST
+
+    def axis_weights(d):
+        return jnp.maximum(-d, 0.0), 1.0 - jnp.abs(d), jnp.maximum(d, 0.0)
+
+    wmy, w0y, wpy = axis_weights(delta[:, 1][:, None, None])
+    wmx, w0x, wpx = axis_weights(delta[:, 0][:, None, None])
+    ty = (
+        wmy * jnp.einsum("ij,njk->nik", Am, tiles, precision=hp)
+        + w0y * jnp.einsum("ij,njk->nik", A0, tiles, precision=hp)
+        + wpy * jnp.einsum("ij,njk->nik", Ap, tiles, precision=hp)
+    )
+    return (
+        wmx * jnp.einsum("nik,lk->nil", ty, Am, precision=hp)
+        + w0x * jnp.einsum("nik,lk->nil", ty, A0, precision=hp)
+        + wpx * jnp.einsum("nik,lk->nil", ty, Ap, precision=hp)
+    )
+
+
 def extract_orb_with_tiles(image: jnp.ndarray, cfg: OrbConfig):
     """Full multi-level ORB extraction; also returns the raw patch
     tiles ([N, 32, 32], keypoint at (15,15) in the keypoint's own
@@ -181,10 +240,10 @@ def extract_orb_with_tiles(image: jnp.ndarray, cfg: OrbConfig):
         all_valid.append(valid)
 
     axy = jnp.concatenate(all_axy, axis=0)  # atlas coords, int32
-    tiles = shift_tiles(
-        gather_patch_tiles(atlas_raw, axy), jnp.concatenate(all_d, axis=0)
-    )
-    tiles_blur = blur_tiles(tiles)
+    tiles_raw = gather_patch_tiles(atlas_raw, axy)
+    deltas = jnp.concatenate(all_d, axis=0)
+    tiles = shift_tiles(tiles_raw, deltas)
+    tiles_blur = shift_blur_tiles(tiles_raw, deltas)
     # Orientation from the blurred tile: the raw intensity centroid is
     # noise-dominated for weak-gradient patches; blur stabilizes the
     # angle (and therefore the BRIEF rotation bin) across frames.
@@ -269,10 +328,9 @@ def extract_orb_stereo(img_left: jnp.ndarray, img_right: jnp.ndarray, cfg: OrbCo
     # blurs each side by a different sub-pixel phase, and that asymmetry
     # biases the SAD parabola ~0.04 px one-sided (≈+0.1% depth), which
     # the keyframe feedback loop integrates into forward drift.
-    tiles = shift_tiles(
+    tiles_blur = shift_blur_tiles(
         tiles_raw, jnp.concatenate([per_image[0][5], per_image[1][5]])
     )
-    tiles_blur = blur_tiles(tiles)
     angles = ic_angle_from_tiles(tiles_blur)
     desc = brief_descriptors_from_tiles(tiles_blur, angles)
 

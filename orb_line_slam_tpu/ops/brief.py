@@ -149,13 +149,35 @@ def _rotated_flat_indices() -> np.ndarray:
 
 
 @functools.lru_cache()
-def _onehot_tables():
-    """bfloat16 [N_ANGLE_BINS, 1024, 512] one-hot sampling matrices."""
+def _diff_tables() -> np.ndarray:
+    """int8 [N_ANGLE_BINS, 2*1024, 256] signed sampling-difference
+    matrices for the fixed-point BRIEF matmul: for bin b and pair j,
+    column j holds +1 at p2's flat tile index and -1 at p1's (net 0 if
+    they coincide).  The first 1024 rows are scaled by 64 (the hi
+    fixed-point plane), the last 1024 by 1 (the lo plane), so that
+    [hi, lo] @ D == 64*(hi@D1) + lo@D1 == tf@D1 exactly in int32."""
     idx = _rotated_flat_indices()
-    tables = np.zeros((N_ANGLE_BINS, TILE * TILE, 512), np.float32)
+    base = np.zeros((N_ANGLE_BINS, TILE * TILE, 256), np.int8)
     for b in range(N_ANGLE_BINS):
-        tables[b, idx[b], np.arange(512)] = 1.0
-    return tables
+        for j in range(256):
+            base[b, idx[b, 256 + j], j] += 1
+            base[b, idx[b, j], j] -= 1
+    return np.concatenate([base * np.int8(64), base], axis=1)
+
+
+# Fixed-point scale for tile intensities: 4 fractional bits.  Both the
+# TPU matmul path and the CPU gather path quantize identically, making
+# descriptors BIT-IDENTICAL across platforms (the r4 3-term bf16 split
+# still left ~1e-5 of sampling error and occasional bit flips vs CPU).
+FIXED_SCALE = 16.0
+
+
+def _fixed_planes(tiles_flat: jnp.ndarray):
+    """f32 [N, 1024] tiles -> (hi, lo) int8 base-64 planes of
+    round(tile * FIXED_SCALE) (values in [0, 255*16], hi/lo in
+    [0, 63])."""
+    tf = jnp.round(tiles_flat * FIXED_SCALE).astype(jnp.int32)
+    return (tf >> 6).astype(jnp.int8), (tf & 63).astype(jnp.int8)
 
 
 def quantize_angle(angles: jnp.ndarray) -> jnp.ndarray:
@@ -173,19 +195,39 @@ def quantize_angle(angles: jnp.ndarray) -> jnp.ndarray:
 IC_MIN_OFFSET_PX = 0.5
 
 
+@functools.lru_cache()
+def _ic_weight_table() -> np.ndarray:
+    """int8 [1024, 4] moment weights over the full 32x32 tile (disk
+    mask x {u, v, 1}, zero outside the 31x31 patch; 4th column pads to
+    an MXU-friendly width).  Entries are in [-15, 15] so the moments
+    are EXACT int32 under the fixed-point planes."""
+    mask = circular_mask()  # [31, 31]
+    d = np.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=np.float32)
+    W = np.zeros((TILE, TILE, 4), np.int8)
+    W[:31, :31, 0] = mask * d[None, :]  # m10 weight (x)
+    W[:31, :31, 1] = mask * d[:, None]  # m01 weight (y)
+    W[:31, :31, 2] = mask               # m00 weight
+    return W.reshape(TILE * TILE, 4)
+
+
 def ic_angle_from_tiles(tiles: jnp.ndarray) -> jnp.ndarray:
-    """Intensity-centroid angle from [N, 32, 32] tiles (center (15,15)):
-    three 1024-dot products — MXU/VPU friendly.  Weak centroids snap to
-    upright (see IC_MIN_OFFSET_PX)."""
-    mask = jnp.asarray(circular_mask())  # [31, 31]
-    d = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=jnp.float32)
-    wu = (mask * d[None, :]).reshape(-1)  # weight for m10
-    wv = (mask * d[:, None]).reshape(-1)  # weight for m01
-    w0 = mask.reshape(-1)                 # weight for m00
-    flat = tiles[:, :31, :31].reshape(tiles.shape[0], -1)
-    m10 = flat @ wu
-    m01 = flat @ wv
-    m00 = flat @ w0
+    """Intensity-centroid angle from [N, 32, 32] tiles (center (15,15)).
+
+    Fixed-point int8 matmul: moments come out EXACT (scaled by
+    FIXED_SCALE, which cancels in both arctan2 and the offset/m00
+    ratio), so CPU and TPU agree bit-for-bit — the f32 matvec this
+    replaces went through the TPU's approximate default f32 matmul
+    precision and diverged from CPU at ~1e-3, enough to flip angle
+    bins.  Also ~2x faster (int8 MXU vs three f32 matvecs).
+    Weak centroids snap to upright (see IC_MIN_OFFSET_PX)."""
+    n = tiles.shape[0]
+    hi, lo = _fixed_planes(tiles.reshape(n, -1))
+    W = jnp.asarray(_ic_weight_table())
+    dims = (((1,), (0,)), ((), ()))
+    mh = jax.lax.dot_general(hi, W, dims, preferred_element_type=jnp.int32)
+    ml = jax.lax.dot_general(lo, W, dims, preferred_element_type=jnp.int32)
+    m = (mh * 64 + ml).astype(jnp.float32)
+    m10, m01, m00 = m[:, 0], m[:, 1], m[:, 2]
     offset = jnp.sqrt(m10 * m10 + m01 * m01) / jnp.maximum(m00, 1e-6)
     return jnp.where(
         offset >= IC_MIN_OFFSET_PX, jnp.arctan2(m01, m10), 0.0
@@ -198,39 +240,31 @@ def brief_descriptors_from_tiles(
     """Rotated BRIEF-256 from blurred-image tiles [N, 32, 32]."""
     n = tiles_blur.shape[0]
     bins = quantize_angle(angles)
+    flat = tiles_blur.reshape(n, -1)
     if jax.default_backend() == "tpu":
-        tables = jnp.asarray(_onehot_tables(), jnp.bfloat16)
-        # THREE-term split-precision selection: the one-hot table is
-        # exact in bf16 but the sampled pixel value is not.  A 2-term
-        # (hi+lo) split still left ~1e-3 of sampling error, and BLURRED
-        # tiles are locally smooth, so BRIEF pairs are frequently within
-        # 1e-3 of a tie — measured median 3 bits of CPU-vs-TPU
-        # descriptor divergence (tests/test_tpu_parity.py guards this).
-        # hi+mid+lo brings the error to ~1e-5 for one extra bf16 MXU
-        # pass (full f32 HIGHEST here cost 25% of the whole front-end).
-        # optimization_barrier: the runtime compiles with
-        # --xla_allow_excess_precision=true, which licenses XLA to
-        # algebraically collapse hi+mid+lo back into one bf16 rounding
-        # of the sum — silently reintroducing the full bf16 error the
-        # split exists to remove.
-        flat32 = tiles_blur.reshape(n, -1).astype(jnp.float32)
-        hi = jax.lax.optimization_barrier(flat32.astype(jnp.bfloat16))
-        r1 = flat32 - hi.astype(jnp.float32)
-        mid = jax.lax.optimization_barrier(r1.astype(jnp.bfloat16))
-        lo = jax.lax.optimization_barrier(
-            (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        # Fixed-point int8 matmul, EXACT (see _diff_tables): the sampled
+        # pair difference comes out as an int32 with zero rounding, so
+        # the bit is deterministic and identical to the CPU gather path.
+        # Bin selection is folded into ONE block-diagonal matmul
+        # ([N, 30*2048] x [30*2048, 256]) instead of 30 masked matmuls —
+        # measured 1.8 ms vs 3.1 ms for the r4 three-term bf16 split at
+        # N=4000 on chip.
+        hi, lo = _fixed_planes(flat)
+        X = jnp.concatenate([hi, lo], axis=1)  # [N, 2048]
+        sel = bins[:, None] == jnp.arange(N_ANGLE_BINS)[None, :]
+        Xb = jnp.where(sel[:, :, None], X[:, None, :], jnp.int8(0))
+        Dt = jnp.asarray(_diff_tables())  # [30, 2048, 256]
+        diff = jax.lax.dot_general(
+            Xb.reshape(n, N_ANGLE_BINS * 2 * TILE * TILE),
+            Dt.reshape(N_ANGLE_BINS * 2 * TILE * TILE, 256),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
         )
-        vals = jnp.zeros((n, 512), jnp.float32)
-        for b in range(N_ANGLE_BINS):
-            vb = jnp.dot(hi, tables[b], preferred_element_type=jnp.float32)
-            vb = vb + jnp.dot(mid, tables[b], preferred_element_type=jnp.float32)
-            vb = vb + jnp.dot(lo, tables[b], preferred_element_type=jnp.float32)
-            vals = vals + jnp.where((bins == b)[:, None], vb, 0.0)
     else:
-        # CPU tests: identical math via per-keypoint index gather.
+        # CPU: identical math via per-keypoint index gather on the same
+        # fixed-point quantization.
+        tf = jnp.round(flat * FIXED_SCALE).astype(jnp.int32)
         idx = jnp.asarray(_rotated_flat_indices())[bins]  # [N, 512]
-        flat = tiles_blur.reshape(n, -1)
-        vals = jnp.take_along_axis(flat, idx, axis=1)
-    i1 = vals[:, :256]
-    i2 = vals[:, 256:]
-    return pack_bits((i1 < i2).astype(jnp.uint8))
+        vals = jnp.take_along_axis(tf, idx, axis=1)
+        diff = vals[:, 256:] - vals[:, :256]
+    return pack_bits((diff > 0).astype(jnp.uint8))
