@@ -51,6 +51,41 @@ def assemble_coupling(
     return out.reshape(oh_lm.shape[0], C, blocks.shape[1], blocks.shape[2])
 
 
+def chol33(V: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form lower Cholesky of a [..., 3, 3] SPD batch."""
+    a = jnp.sqrt(jnp.maximum(V[..., 0, 0], 1e-30))
+    b = V[..., 1, 0] / a
+    c = V[..., 2, 0] / a
+    d = jnp.sqrt(jnp.maximum(V[..., 1, 1] - b * b, 1e-30))
+    e = (V[..., 2, 1] - c * b) / d
+    f = jnp.sqrt(jnp.maximum(V[..., 2, 2] - c * c - e * e, 1e-30))
+    z = jnp.zeros_like(a)
+    return jnp.stack(
+        [a, z, z, b, d, z, c, e, f], axis=-1
+    ).reshape(*V.shape[:-2], 3, 3)
+
+
+def chol44(V: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form lower Cholesky of a [..., 4, 4] SPD batch."""
+    a = jnp.sqrt(jnp.maximum(V[..., 0, 0], 1e-30))
+    r10 = V[..., 1, 0] / a
+    r20 = V[..., 2, 0] / a
+    r30 = V[..., 3, 0] / a
+    b = jnp.sqrt(jnp.maximum(V[..., 1, 1] - r10 * r10, 1e-30))
+    r21 = (V[..., 2, 1] - r20 * r10) / b
+    r31 = (V[..., 3, 1] - r30 * r10) / b
+    c = jnp.sqrt(jnp.maximum(V[..., 2, 2] - r20 * r20 - r21 * r21, 1e-30))
+    r32 = (V[..., 3, 2] - r30 * r20 - r31 * r21) / c
+    d = jnp.sqrt(
+        jnp.maximum(V[..., 3, 3] - r30 * r30 - r31 * r31 - r32 * r32, 1e-30)
+    )
+    z = jnp.zeros_like(a)
+    return jnp.stack(
+        [a, z, z, z, r10, b, z, z, r20, r21, c, z, r30, r31, r32, d],
+        axis=-1,
+    ).reshape(*V.shape[:-2], 4, 4)
+
+
 def inv33(H: jnp.ndarray) -> jnp.ndarray:
     """Closed-form cofactor inverse of a [..., 3, 3] batch."""
     a, b, c = H[..., 0, 0], H[..., 0, 1], H[..., 0, 2]

@@ -33,7 +33,9 @@ from ..geometry.lines3d import (
     pluecker_transform,
 )
 from ..geometry.se3 import se3_compose, se3_exp
-from .assembly import assemble, assemble_coupling, inv33, inv44, onehot_f32
+from .assembly import (
+    assemble, assemble_coupling, chol33, chol44, inv33, inv44, onehot_f32,
+)
 from .local_ba import _residuals_and_jacs
 from .residuals import inv_level_sigma2, make_point_residual_fn
 from .robust import CHI2_MONO, CHI2_STEREO, huber_weight
@@ -296,7 +298,6 @@ def bundle_adjust_pl(
         gp_o = jnp.einsum("odi,od,o->oi", Jp, r, wgt)
         Hcc = assemble(oh_cam, JcT_Jc)
         Hpp = assemble(oh_lm, JpT_Jp)
-        Bp = assemble_coupling(oh_lm, oh_cam, JcT_Jp)
         gc = assemble(oh_cam, gc_o)
         gp = assemble(oh_lm, gp_o)
 
@@ -315,7 +316,6 @@ def bundle_adjust_pl(
         gll_o = jnp.einsum("odi,od,o->oi", Jll, rl, lw)
         Hcc = Hcc + assemble(oh_lcam, JlcT_Jlc)
         Hll = assemble(oh_ln, JllT_Jll)
-        Bl = assemble_coupling(oh_ln, oh_lcam, JlcT_Jll)
         gc = gc + assemble(oh_lcam, glc_o)
         gl = assemble(oh_ln, gll_o)
 
@@ -328,25 +328,29 @@ def bundle_adjust_pl(
         Hll = Hll + (1e-5 + (~line_valid[:, None, None]) * 1.0) * jnp.eye(4)
         Vl = inv44(Hll)
 
-        Wpp = jnp.einsum("pcij,pjk->pcik", Bp, Vp)
-        Wll = jnp.einsum("lcij,ljk->lcik", Bl, Vl)
-        A1p = Wpp.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
-        A2p = Bp.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
-        A1l = Wll.transpose(1, 2, 0, 3).reshape(C * 6, L * 4)
-        A2l = Bl.transpose(1, 2, 0, 3).reshape(C * 6, L * 4)
+        # Cholesky-folded couplings (see local_ba.py): one [.,C,6,k]
+        # tensor per landmark type, symmetric Schur self-products.
+        Lp = chol33(Vp)
+        Ll = chol44(Vl)
+        GLp = jnp.einsum("oij,ojk->oik", JcT_Jp, Lp[obs_lm])
+        GLl = jnp.einsum("oij,ojk->oik", JlcT_Jll, Ll[lobs_ln])
+        BLp = assemble_coupling(oh_lm, oh_cam, GLp)     # [P,C,6,3]
+        BLl = assemble_coupling(oh_ln, oh_lcam, GLl)    # [L,C,6,4]
+        up = jnp.einsum("pji,pj->pi", Lp, gp)
+        ul = jnp.einsum("lji,lj->li", Ll, gl)
         idx = jnp.arange(C)
         Hcc_full = (
             jnp.zeros((C, 6, C, 6)).at[idx, :, idx, :].set(Hcc).reshape(C * 6, C * 6)
         )
-        S = (
-            Hcc_full
-            - jnp.dot(A1p, A2p.T, preferred_element_type=jnp.float32)
-            - jnp.dot(A1l, A2l.T, preferred_element_type=jnp.float32)
-        )
+        contract = lambda X: jax.lax.dot_general(  # noqa: E731
+            X, X, dimension_numbers=(((0, 3), (0, 3)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(C * 6, C * 6)
+        S = Hcc_full - contract(BLp) - contract(BLl)
         rhs = -(
             gc
-            - jnp.einsum("pcik,pk->ci", Wpp, gp)
-            - jnp.einsum("lcik,lk->ci", Wll, gl)
+            - jnp.einsum("pcik,pk->ci", BLp, up)
+            - jnp.einsum("lcik,lk->ci", BLl, ul)
         ).reshape(C * 6)
 
         m = jnp.repeat(free_c[:, 0], 6)
@@ -354,9 +358,15 @@ def bundle_adjust_pl(
         rhs = rhs * m
         dc = jnp.linalg.solve(S, rhs).reshape(C, 6)
 
-        dp = -jnp.einsum("pij,pj->pi", Vp, gp + jnp.einsum("pcij,ci->pj", Bp, dc))
+        dp = -(
+            jnp.einsum("pij,pj->pi", Vp, gp)
+            + jnp.einsum("pij,pj->pi", Lp, jnp.einsum("pcik,ci->pk", BLp, dc))
+        )
         dp = dp * point_valid[:, None]
-        dl = -jnp.einsum("lij,lj->li", Vl, gl + jnp.einsum("lcij,ci->lj", Bl, dc))
+        dl = -(
+            jnp.einsum("lij,lj->li", Vl, gl)
+            + jnp.einsum("lij,lj->li", Ll, jnp.einsum("lcik,ci->lk", BLl, dc))
+        )
         dl = dl * line_valid[:, None]
 
         dR, dt = se3_exp(dc * free_c)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..geometry.camera import CameraIntrinsics
 from ..geometry.se3 import se3_compose, se3_exp
-from .assembly import assemble, assemble_coupling, inv33, onehot_f32
+from .assembly import assemble, assemble_coupling, chol33, inv33, onehot_f32
 from .residuals import inv_level_sigma2, make_point_residual_fn
 from .robust import CHI2_MONO, CHI2_STEREO, huber_weight
 
@@ -132,7 +132,6 @@ def bundle_adjust(
         # Block assembly as one-hot matmuls (MXU) — see backend/assembly.
         Hcc = assemble(oh_cam, JcT_Jc)
         Hpp = assemble(oh_lm, JpT_Jp)
-        B = assemble_coupling(oh_lm, oh_cam, JcT_Jp)
         gc = assemble(oh_cam, gc_o)
         gp = assemble(oh_lm, gp_o)
 
@@ -143,10 +142,16 @@ def bundle_adjust(
         Hpp = Hpp + (1e-6 + (~point_valid[:, None, None]) * 1.0) * jnp.eye(3)
         V = inv33(Hpp)  # [P,3,3] closed-form cofactor inverse
 
-        Wp = jnp.einsum("pcij,pjk->pcik", B, V)  # [P,C,6,3]
-        # Schur as one flat matmul: [C6, P3] @ [P3, C6].
-        A1 = Wp.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
-        A2 = B.transpose(1, 2, 0, 3).reshape(C * 6, P * 3)
+        # Cholesky-folded coupling: with V = L L^T, the reduction
+        # B V B^T = (BL)(BL)^T needs ONE [P,C,6,3] tensor instead of
+        # two (B and W=BV) — L folds into the per-observation blocks
+        # BEFORE assembly, and the symmetric self-contraction skips the
+        # explicit [C6, P3] transposes (the two tensor copies were ~45%
+        # of the iteration on-chip; tools/exp_schur2.py: 2.35 -> 1.65 ms).
+        L = chol33(V)
+        GL = jnp.einsum("oij,ojk->oik", JcT_Jp, L[obs_lm])   # [O,6,3]
+        BL = assemble_coupling(oh_lm, oh_cam, GL)            # [P,C,6,3]
+        u = jnp.einsum("pji,pj->pi", L, gp)                  # L^T gp
         Hcc_full = jnp.zeros((C * 6, C * 6))
         idx = jnp.arange(C)
         Hcc_full = Hcc_full.reshape(C, 6, C, 6).at[idx, :, idx, :].set(Hcc).reshape(
@@ -155,11 +160,12 @@ def bundle_adjust(
         # HIGHEST: the Schur reduction contracts over 3P (tens of
         # thousands); default bf16 injects ~0.4% noise into S for a
         # negligible saving at [6C, 3P] size.
-        S = Hcc_full - jnp.dot(
-            A1, A2.T, preferred_element_type=jnp.float32,
+        S = Hcc_full - jax.lax.dot_general(
+            BL, BL, dimension_numbers=(((0, 3), (0, 3)), ((), ())),
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )
-        rhs = -(gc - jnp.einsum("pcik,pk->ci", Wp, gp)).reshape(C * 6)
+        ).reshape(C * 6, C * 6)
+        rhs = -(gc - jnp.einsum("pcik,pk->ci", BL, u)).reshape(C * 6)
 
         # Fixed cameras: identity rows/cols, zero rhs.
         m = jnp.repeat(free_c[:, 0], 6)  # [C6]
@@ -167,8 +173,12 @@ def bundle_adjust(
         rhs = rhs * m
 
         dc = jnp.linalg.solve(S, rhs).reshape(C, 6)
-        dp = -jnp.einsum(
-            "pij,pj->pi", V, gp + jnp.einsum("pcij,ci->pj", B, dc)
+        # dp = -V(gp + B^T dc); with B^T dc = L^{-T}(BL^T dc) this is
+        # -(V gp + L (BL^T dc)) — no B needed.
+        blt_dc = jnp.einsum("pcik,ci->pk", BL, dc)
+        dp = -(
+            jnp.einsum("pij,pj->pi", V, gp)
+            + jnp.einsum("pij,pj->pi", L, blt_dc)
         )
         dp = dp * point_valid[:, None]
 

@@ -201,36 +201,46 @@ def detect_lines(
     # the lateral offset and the residual angle error of the walk (a
     # mean-shift alone leaves ~0.5 deg of tilt = px-level endpoint error
     # on 150 px segments, which the stereo disparity path amplifies).
-    # Two iterations: a chord starting ~2 px off-center sees the support
-    # asymmetrically, so one round under-corrects.
+    # One GATHER pass over a wide perpendicular window, then the
+    # iteration runs arithmetically on the fixed samples: each round
+    # re-centres a triangular weight window on the current fit line and
+    # refits — equivalent to the old resample-per-round scheme for the
+    # <=3 px corrections the walk leaves, at 1/3 the gather cost (the
+    # three bilinear resamples were ~2 ms/image of the 4.1 ms detector).
     ts_ref = jnp.linspace(0.02, 0.98, 32)
-    perp_off = jnp.arange(-3, 4, dtype=jnp.float32)
+    perp_off = jnp.arange(-4, 5, dtype=jnp.float32)
 
-    def refit(p0, p1):
+    def refit(p0, p1, n_rounds=3):
         d01 = p1 - p0
         th = jnp.arctan2(d01[:, 1], d01[:, 0])
         nrm = jnp.stack([-jnp.sin(th), jnp.cos(th)], axis=-1)
-        base = p0[:, None, :] + d01[:, None, :] * ts_ref[None, :, None]  # [L,16,2]
+        base = p0[:, None, :] + d01[:, None, :] * ts_ref[None, :, None]
         samp = (
             base[:, :, None, :]
             + nrm[:, None, None, :] * perp_off[None, None, :, None]
-        )                                                                 # [L,16,7,2]
-        wmag = bilinear_sample(mag, samp)                                 # [L,16,7]
-        wsum = jnp.sum(wmag, axis=2)                                      # [L,16]
-        woff = jnp.sum(wmag * perp_off[None, None, :], axis=2) / (wsum + 1e-6)
-        # Weighted linear fit woff ~ a + b * t (weights = support
-        # strength: rows past the true segment end contribute ~nothing).
-        wn = wsum / (jnp.sum(wsum, axis=1, keepdims=True) + 1e-6)
-        tbar = jnp.sum(wn * ts_ref[None, :], axis=1)
-        obar = jnp.sum(wn * woff, axis=1)
-        tc = ts_ref[None, :] - tbar[:, None]
-        b_fit = jnp.sum(wn * tc * (woff - obar[:, None]), axis=1) / (
-            jnp.sum(wn * tc * tc, axis=1) + 1e-6
-        )
-        a_fit = obar - b_fit * tbar
+        )                                                                 # [L,32,9,2]
+        wmag = bilinear_sample(mag, samp)                                 # [L,32,9]
+        a_fit = jnp.zeros(p0.shape[0])
+        b_fit = jnp.zeros(p0.shape[0])
+        for _ in range(n_rounds):
+            # Triangular window centred on the current fit line keeps
+            # far-off structure from dragging the centroid.
+            line_off = a_fit[:, None] + b_fit[:, None] * ts_ref[None, :]
+            dist = jnp.abs(perp_off[None, None, :] - line_off[:, :, None])
+            wm = wmag * jnp.maximum(1.0 - dist / 3.0, 0.0)
+            wsum = jnp.sum(wm, axis=2)
+            woff = jnp.sum(wm * perp_off[None, None, :], axis=2) / (wsum + 1e-6)
+            wn = wsum / (jnp.sum(wsum, axis=1, keepdims=True) + 1e-6)
+            tbar = jnp.sum(wn * ts_ref[None, :], axis=1)
+            obar = jnp.sum(wn * woff, axis=1)
+            tc = ts_ref[None, :] - tbar[:, None]
+            b_fit = jnp.sum(wn * tc * (woff - obar[:, None]), axis=1) / (
+                jnp.sum(wn * tc * tc, axis=1) + 1e-6
+            )
+            a_fit = obar - b_fit * tbar
         return p0 + nrm * a_fit[:, None], p1 + nrm * (a_fit + b_fit)[:, None]
 
-    p0, p1 = refit(*refit(*refit(p0, p1)))
+    p0, p1 = refit(p0, p1)
 
     ok = valid & (length >= 12.0) & (supported / jnp.maximum(length, 1.0) > 0.75)
     # Clamp endpoints to the image; re-derive angle/length from the

@@ -139,10 +139,11 @@ def mirror_apply_pos(mir: MapMirror, delta_u32) -> MapMirror:
 # ---------------------------------------------------------------------------
 # keyframe-event fetch unpacking (host side of track_step.pack_kf_event)
 # ---------------------------------------------------------------------------
-def unpack_kf_event(buf: np.ndarray, N: int, Lcap: int, cap: int):
+def unpack_kf_event(buf: np.ndarray, N: int, Lcap: int, cap: int,
+                    n_lines: int = 0):
     """Split the single packed keyframe-event fetch back into host
     arrays. Returns (frame_host, assoc, inliers, ln_idx, ln_mask,
-    found, vis, ln_found, ln_vis)."""
+    found, vis, ln_found, ln_vis[, line_features])."""
     from ..frontend.frame import Frame
 
     o = 0
@@ -171,4 +172,16 @@ def unpack_kf_event(buf: np.ndarray, N: int, Lcap: int, cap: int):
     ln_vis = take(Lcap).astype(np.int32)
     fh = Frame(xy=xy, response=response, angle=angle, octave=octave,
                desc=desc, valid=valid, u_right=ur, depth=depth)
-    return fh, assoc, inliers, ln_idx, ln_mask, found, vis, ln_found, ln_vis
+    out = (fh, assoc, inliers, ln_idx, ln_mask, found, vis, ln_found, ln_vis)
+    if not n_lines:
+        return out
+    from ..frontend.line_extractor import LineFeatures
+
+    L = n_lines
+    lf = LineFeatures(
+        p0=take(2 * L).reshape(L, 2), p1=take(2 * L).reshape(L, 2),
+        angle=take(L), length=take(L),
+        desc=np.ascontiguousarray(take(8 * L)).view(np.uint8).reshape(L, 32),
+        valid=take(L) > 0.5, depth0=take(L), depth1=take(L),
+    )
+    return out + (lf,)

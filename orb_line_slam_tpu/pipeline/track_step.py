@@ -446,18 +446,20 @@ def override_carry(out: TrackOut, R, t) -> TrackOut:
 
 
 @jax.jit
-def pack_kf_event(frame, out: TrackOut):
+def pack_kf_event(frame, out: TrackOut, lines=None):
     """Flatten everything the host needs at a keyframe event into ONE
     float32 buffer (a single ~180 KB fetch instead of ~15 round-trips
     through the ~22 ms-latency tunnel): the full feature table of the
-    keyframe's frame, the association vector, line matches, and the
-    found/visible accumulators."""
+    keyframe's frame, the association vector, line matches, the
+    found/visible accumulators, and (when enabled) the frame's line
+    features — a separate jax.device_get of the 8-leaf LineFeatures
+    pytree cost ~50 ms/keyframe of serial tunnel fetches."""
     N = frame.xy.shape[0]
     f32 = lambda x: jnp.asarray(x, jnp.float32).reshape(-1)  # noqa: E731
     desc32 = jax.lax.bitcast_convert_type(
         frame.desc.reshape(N, 8, 4), jnp.float32
     )
-    return jnp.concatenate([
+    parts = [
         f32(frame.xy), f32(frame.u_right), f32(frame.depth),
         f32(frame.octave), f32(frame.angle), f32(frame.valid),
         f32(frame.response), f32(desc32),
@@ -465,4 +467,15 @@ def pack_kf_event(frame, out: TrackOut):
         f32(out.ln_match_idx), f32(out.ln_match_mask),
         f32(out.found_acc), f32(out.vis_acc),
         f32(out.ln_found_acc), f32(out.ln_vis_acc),
-    ])
+    ]
+    if lines is not None:
+        L = lines.p0.shape[0]
+        ldesc32 = jax.lax.bitcast_convert_type(
+            lines.desc.reshape(L, 8, 4), jnp.float32
+        )
+        parts += [
+            f32(lines.p0), f32(lines.p1), f32(lines.angle),
+            f32(lines.length), f32(ldesc32), f32(lines.valid),
+            f32(lines.depth0), f32(lines.depth1),
+        ]
+    return jnp.concatenate(parts)

@@ -215,7 +215,7 @@ class Tracker:
                     pass
             self.cur_frame = frame
             self.cur_lines = lf
-            kf_packed = pack_kf_event(frame, out)
+            kf_packed = pack_kf_event(frame, out, lines=lf)
             try:
                 kf_packed.copy_to_host_async()
             except AttributeError:
@@ -478,6 +478,7 @@ class Tracker:
         se.out = self._dispatch_track_step(se.frame, se.lines)
         se.snap_host = self._mir["snap_host"]
         se.ln_ids = self._mir["ln_ids"]
+        se.kf_packed = None  # stale: re-pack lazily at the KF event
         return np.asarray(se.out.packed)
 
     def _consume(self):
@@ -965,14 +966,17 @@ class Tracker:
 
         Lcap = e.out.ln_match_idx.shape[0]
         cap = e.out.found_acc.shape[0]
+        n_lines = e.lines.p0.shape[0] if e.lines is not None else 0
         with self.timing.stage("kf_event_fetch"):
             buf = np.asarray(
                 e.kf_packed if e.kf_packed is not None
-                else pack_kf_event(e.frame, e.out)
+                else pack_kf_event(e.frame, e.out, lines=e.lines)
             )
+        unpacked = unpack_kf_event(buf, e.frame.n, Lcap, cap, n_lines=n_lines)
         fh, assoc, _inl, ln_idx, ln_mask, found, vis, ln_found, ln_vis = (
-            unpack_kf_event(buf, e.frame.n, Lcap, cap)
+            unpacked[:9]
         )
+        lf_host = unpacked[9] if n_lines else None
         # Landmark statistics (IncreaseFound / IncreaseVisible),
         # accumulated on device since the last keyframe event.
         sh = e.snap_host
@@ -1001,12 +1005,15 @@ class Tracker:
         assoc[assoc >= 0] = np.where(
             self.map.pt_valid[assoc[assoc >= 0]], assoc[assoc >= 0], -1
         )
+        _tkf = time.perf_counter()
         kf = self.map.add_keyframe(
             fh, self.R, self.t, e.fid, e.ts, lm_assoc=assoc,
             parent=self.ref_kf,
         )
+        self.timing.add("kf_add_keyframe", time.perf_counter() - _tkf)
         # New landmarks from stereo depth for unassociated features
         # (close ones always; mirrors Tracking::CreateNewKeyFrame).
+        _tkf = time.perf_counter()
         depth = fh.depth
         valid = fh.valid
         baseline = cfg.camera.baseline
@@ -1024,12 +1031,19 @@ class Tracker:
                 pts_w, fh.desc[keep], fh.octave[keep], kf, keep
             )
             self.recent_lm.append(ids)
+        self.timing.add("kf_new_points", time.perf_counter() - _tkf)
 
         # Line landmarks: store this KF's line features; create 3D lines
         # from stereo endpoint depths for unmatched steep lines
         # (CreateNewMapLines analog).
+        _tkf = time.perf_counter()
         if self.cfg.lines.enabled and e.lines is not None:
-            lf = jax.device_get(e.lines)  # one batched fetch
+            # Host line features ride in the packed KF-event buffer —
+            # a device_get of the pytree here cost ~50 ms of serial
+            # tunnel round-trips per keyframe.
+            lf = (
+                lf_host if lf_host is not None else jax.device_get(e.lines)
+            )
             ln_assoc = np.full(lf.n, -1, np.int32)
             if e.ln_ids is not None and len(e.ln_ids):
                 rows = np.nonzero(ln_mask)[0]
@@ -1071,11 +1085,15 @@ class Tracker:
             obs_ln = self.map.kf_ln_obs[kf]
             self.map.update_line_stats(obs_ln[obs_ln >= 0])
 
+        self.timing.add("kf_lines_host", time.perf_counter() - _tkf)
         # Landmark stats for everything this KF observes.
+        _tkf = time.perf_counter()
         seen = self.map.kf_obs_lm[kf]
         self.map.update_point_stats(seen[seen >= 0])
+        self.timing.add("kf_point_stats", time.perf_counter() - _tkf)
 
         # --- local mapping step (async device jobs + host culling) ---
+        _tkf = time.perf_counter()
         self._kf_frames[kf] = e.frame
         while len(self._kf_frames) > self._kf_frames_max:
             self._kf_frames.pop(next(iter(self._kf_frames)))
@@ -1091,6 +1109,7 @@ class Tracker:
             win, _ = self.map.covisible_keyframes(kf, min_weight=1, max_n=8)
             self.map.cull_keyframes([k for k in win if k != kf])
 
+        self.timing.add("kf_cull_host", time.perf_counter() - _tkf)
         self.ref_kf = kf
         self._ref_frame_dev = e.frame
         self._ref_frame_kf = kf

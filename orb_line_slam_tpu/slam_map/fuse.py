@@ -153,6 +153,46 @@ def _pad_ids(ids, cap):
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "level_scales"))
+def _fuse_program_flat(
+    flat, nb_frames, kf_frame, cam, level_scales,
+):
+    """Unpack the single uint32 input buffer (landmark tables in the
+    mirror's 18-word row codec + poses), then run the fuse searches.
+    One upload instead of ~19 — each small host->device transfer pays
+    its own ~ms round-trip through the axon tunnel."""
+    from ..pipeline.mirror import _rows_to_mirror_fields
+
+    Nn = nb_frames.xy.shape[0]
+    OC, PC = FUSE_OWN_CAP, FUSE_POOL_CAP
+    off = [0]
+
+    def take(n):
+        v = jax.lax.dynamic_slice(flat, (off[0],), (n,))
+        off[0] += n
+        return v
+
+    f32 = lambda v, *s: jax.lax.bitcast_convert_type(v, jnp.float32).reshape(*s)  # noqa: E731
+    own_pos, own_desc, own_oct, own_valid, own_maxd, own_mind, own_normal = (
+        _rows_to_mirror_fields(take(OC * 18).reshape(OC, 18))
+    )
+    pool_pos, pool_desc, pool_oct, pool_valid, pool_maxd, pool_mind, \
+        pool_normal = _rows_to_mirror_fields(take(PC * 18).reshape(PC, 18))
+    nb_R = f32(take(Nn * 9), Nn, 3, 3)
+    nb_t = f32(take(Nn * 3), Nn, 3)
+    nb_valid = take(Nn) > 0
+    kf_R = f32(take(9), 3, 3)
+    kf_t = f32(take(3), 3)
+    return _fuse_program.__wrapped__(
+        own_pos, own_desc, own_oct, own_valid, own_maxd, own_mind, own_normal,
+        pool_pos, pool_desc, pool_oct, pool_valid, pool_maxd, pool_mind,
+        pool_normal,
+        nb_frames, nb_R, nb_t, nb_valid,
+        kf_frame, kf_R, kf_t,
+        cam, level_scales,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "level_scales"))
 def _fuse_program(
     own_pos, own_desc, own_oct, own_valid, own_maxd, own_mind, own_normal,
     pool_pos, pool_desc, pool_oct, pool_valid, pool_maxd, pool_mind,
@@ -232,21 +272,23 @@ def dispatch_fuse(store, kf: int, neighbor_ids, cam, level_scales,
         nb_t[i] = store.kf_t[k2]
         nb_valid[i] = True
 
-    packed = _fuse_program(
-        jnp.asarray(store.pt_pos[own_p]), jnp.asarray(store.pt_desc[own_p]),
-        jnp.asarray(store.pt_oct[own_p]), jnp.asarray(own_v),
-        jnp.asarray(store.pt_max_dist[own_p]),
-        jnp.asarray(store.pt_min_dist[own_p]),
-        jnp.asarray(store.pt_normal[own_p]),
-        jnp.asarray(store.pt_pos[pool_p]), jnp.asarray(store.pt_desc[pool_p]),
-        jnp.asarray(store.pt_oct[pool_p]), jnp.asarray(pool_v),
-        jnp.asarray(store.pt_max_dist[pool_p]),
-        jnp.asarray(store.pt_min_dist[pool_p]),
-        jnp.asarray(store.pt_normal[pool_p]),
-        nb_frames, jnp.asarray(nb_R), jnp.asarray(nb_t),
-        jnp.asarray(nb_valid),
+    # ONE packed upload (mirror row codec + poses); unpacked on device.
+    from ..pipeline.mirror import pack_rows
+
+    own_rows = pack_rows(store, own_p)
+    own_rows[:, 0] &= own_v.astype(np.uint32)  # padding rows invalid
+    pool_rows = pack_rows(store, pool_p)
+    pool_rows[:, 0] &= pool_v.astype(np.uint32)
+    u = lambda a: np.ascontiguousarray(  # noqa: E731
+        np.asarray(a, np.float32)).view(np.uint32).ravel()
+    flat = np.concatenate([
+        own_rows.ravel(), pool_rows.ravel(),
+        u(nb_R), u(nb_t), nb_valid.astype(np.uint32),
+        u(store.kf_R[kf]), u(store.kf_t[kf]),
+    ])
+    packed = _fuse_program_flat(
+        jnp.asarray(flat), nb_frames,
         _kf_view_dev(store, kf, kf_frames),
-        jnp.asarray(store.kf_R[kf]), jnp.asarray(store.kf_t[kf]),
         cam, tuple(level_scales),
     )
     try:

@@ -96,6 +96,38 @@ def triangulate_between(
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "scale_factor"))
+def triangulate_batch_flat(
+    flat, own_frame, nb_frames, cam: CameraIntrinsics,
+    scale_factor: float = 1.2,
+):
+    """triangulate_batch with masks/poses packed into ONE uint32 upload
+    (feature tables come from the cached device frames)."""
+    Nn = nb_frames.xy.shape[0]
+    F = own_frame.xy.shape[0]
+    off = [0]
+
+    def take(n):
+        v = jax.lax.dynamic_slice(flat, (off[0],), (n,))
+        off[0] += n
+        return v
+
+    f32 = lambda v, *s: jax.lax.bitcast_convert_type(  # noqa: E731
+        v, jnp.float32).reshape(*s)
+    avail1 = take(F) > 0
+    R1 = f32(take(9), 3, 3)
+    t1 = f32(take(3), 3)
+    avail2 = (take(Nn * F) > 0).reshape(Nn, F)
+    R2 = f32(take(Nn * 9), Nn, 3, 3)
+    t2 = f32(take(Nn * 3), Nn, 3)
+    pv = take(Nn) > 0
+    return triangulate_batch.__wrapped__(
+        own_frame.xy, own_frame.desc, own_frame.octave, avail1, R1, t1,
+        nb_frames.xy, nb_frames.desc, nb_frames.octave, avail2, R2, t2, pv,
+        cam, scale_factor,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "scale_factor"))
 def triangulate_batch(
     xy1, desc1, oct1, avail1, R1, t1,
     xy2s, desc2s, oct2s, avail2s, R2s, t2s, pair_valid,
@@ -161,13 +193,16 @@ def dispatch_triangulation(store, kf_id, neighbor_ids, cam, scale_factor=1.2,
         t2[i] = store.kf_t[k2]
         pv[i] = True
     own = _kf_view_dev(store, kf_id, kf_frames)
-    packed = triangulate_batch(
-        own.xy, own.desc, own.octave, jnp.asarray(avail1),
-        jnp.asarray(store.kf_R[kf_id]), jnp.asarray(store.kf_t[kf_id]),
-        nb.xy, nb.desc, nb.octave,
-        jnp.asarray(avail2), jnp.asarray(R2), jnp.asarray(t2),
-        jnp.asarray(pv),
-        cam, scale_factor,
+    u = lambda a: np.ascontiguousarray(  # noqa: E731
+        np.asarray(a, np.float32)).view(np.uint32).ravel()
+    flat = np.concatenate([
+        avail1.astype(np.uint32),
+        u(store.kf_R[kf_id]), u(store.kf_t[kf_id]),
+        avail2.astype(np.uint32).ravel(),
+        u(R2), u(t2), pv.astype(np.uint32),
+    ])
+    packed = triangulate_batch_flat(
+        jnp.asarray(flat), own, nb, cam, scale_factor,
     )
     try:
         # Land the result on host in the background: the apply-time
