@@ -152,14 +152,22 @@ class Vocabulary:
         flat = ch.ravel()
         sel = flat >= 0
         parents[flat[sel]] = rows[sel]
+        # Vectorized serialization: one float64 matrix -> one savetxt
+        # pass (a per-node Python format loop takes minutes at the
+        # reference scale of ~1.1M nodes / 145 MB; all values are
+        # integers < 2^53, exact in float64).
+        wid = self.word_id
+        is_leaf = wid[1:] >= 0
+        wgt = np.zeros(n - 1, np.float64)
+        wgt[is_leaf] = self.word_weight[wid[1:][is_leaf]]
+        body = np.empty((n - 1, 35), np.float64)
+        body[:, 0] = parents[1:]
+        body[:, 1] = is_leaf
+        body[:, 2:34] = self.node_desc[1:]
+        body[:, 34] = wgt
         with open(path, "w") as f:
             f.write(f"{self.k} {self.depth} 0 0\n")
-            wid = self.word_id
-            for node in range(1, n):
-                leaf = 1 if wid[node] >= 0 else 0
-                wgt = float(self.word_weight[wid[node]]) if leaf else 0.0
-                d = " ".join(str(int(x)) for x in self.node_desc[node])
-                f.write(f"{parents[node]} {leaf} {d} {wgt}\n")
+            np.savetxt(f, body, fmt=" ".join(["%d"] * 34 + ["%g"]))
 
     @staticmethod
     def parse_orbvoc_txt(path: str | Path):

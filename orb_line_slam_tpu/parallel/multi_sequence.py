@@ -83,15 +83,45 @@ class MultiSequenceTracker:
     System per sequence).
 
     Bootstrap frames (until every tracker is initialized with device
-    carries) run the per-sequence path; the steady state batches."""
+    carries) run the per-sequence path; the steady state batches.
 
-    def __init__(self, cfg: SlamConfig, n_seq: int):
+    With full_slam=True (default — BASELINE config #4 is "full stereo
+    point+line SLAM", not N tracking front-ends) every sequence is a
+    complete System: its own KeyFrameDatabase, LoopCloser (loop
+    detection + Sim3 + CorrectLoop + global BA) and relocalization
+    ladder, exactly like the reference running one System per sequence.
+    Loop closing is per-keyframe and host-side, so it composes with the
+    batched per-frame dispatch unchanged.  Per-sequence host
+    bookkeeping (consume, keyframe events, map maintenance) runs on a
+    thread pool — each sequence owns its MapStore, so the only shared
+    state is the JAX dispatch queue (thread-safe)."""
+
+    def __init__(self, cfg: SlamConfig, n_seq: int, full_slam: bool = True,
+                 host_threads: bool = True):
         from ..pipeline.tracking import Tracker, _PipeEntry
 
         self.cfg = cfg
         self.n_seq = n_seq
-        self.trackers = [Tracker(cfg) for _ in range(n_seq)]
+        self.full_slam = full_slam
+        if full_slam:
+            from ..pipeline.system import System
+
+            self.systems = [
+                System(cfg, use_loop_closing=True, async_loop=True)
+                for _ in range(n_seq)
+            ]
+            self.trackers = [s.tracker for s in self.systems]
+        else:
+            self.systems = None
+            self.trackers = [Tracker(cfg) for _ in range(n_seq)]
         self._entry_cls = _PipeEntry
+        self._pool = None
+        if host_threads and n_seq > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(
+                max_workers=n_seq, thread_name_prefix="mseq-host"
+            )
 
     def _ready(self):
         return all(
@@ -150,8 +180,7 @@ class MultiSequenceTracker:
             stacked, cfg=self.cfg, has_lines=has_lines
         )
 
-        poses = []
-        for b, t in enumerate(self.trackers):
+        def consume_one(b, t):
             take = functools.partial(jax.tree_util.tree_map, lambda x: x[b])
             frame_b = take(frames)
             lf_b = take(lfs) if lfs is not None else None
@@ -168,8 +197,32 @@ class MultiSequenceTracker:
             ))
             while len(t._q) > t.pipeline_depth:
                 t._consume()
-            poses.append(t.current_pose())
+            return t.current_pose()
+
+        if self._pool is not None:
+            poses = list(self._pool.map(
+                consume_one, range(self.n_seq), self.trackers
+            ))
+        else:
+            poses = [consume_one(b, t) for b, t in enumerate(self.trackers)]
         return poses
 
     def final_trajectories(self):
         return [t.final_trajectory() for t in self.trackers]
+
+    def shutdown(self):
+        if self.systems is not None:
+            for s in self.systems:
+                s.shutdown()
+        else:
+            for t in self.trackers:
+                t.flush()
+                t.flush_pending_ba()
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+
+    @property
+    def n_loops_closed(self):
+        if self.systems is None:
+            return 0
+        return sum(s.n_loops_closed for s in self.systems)

@@ -136,6 +136,32 @@ def mirror_apply_pos(mir: MapMirror, delta_u32) -> MapMirror:
     return mir._replace(pos=mir.pos.at[idx].set(pos, mode="drop"))
 
 
+@functools.partial(jax.jit, static_argnames=("F", "cap", "Lcap"))
+def unpack_mirror_aux(flat, F: int, cap: int, Lcap: int):
+    """Split the single packed mirror-aux upload: ref slots [F], local
+    snapshot ids [cap], line table (start [L,3], end [L,3], desc
+    [L,32], valid [L])."""
+    off = [0]
+
+    def take(n):
+        v = jax.lax.dynamic_slice(flat, (off[0],), (n,))
+        off[0] += n
+        return v
+
+    f32 = lambda v, *s: jax.lax.bitcast_convert_type(  # noqa: E731
+        v, jnp.float32).reshape(*s)
+    # bitcast (NOT convert): ids carry -1 sentinels as 0xFFFFFFFF
+    ref_slots = jax.lax.bitcast_convert_type(take(F), jnp.int32)
+    snap_ids = jax.lax.bitcast_convert_type(take(cap), jnp.int32)
+    ln_start = f32(take(Lcap * 3), Lcap, 3)
+    ln_end = f32(take(Lcap * 3), Lcap, 3)
+    ln_desc = jax.lax.bitcast_convert_type(
+        take(Lcap * 8).reshape(Lcap, 8), jnp.uint8
+    ).reshape(Lcap, 32)
+    ln_valid = take(Lcap) > 0
+    return ref_slots, snap_ids, ln_start, ln_end, ln_desc, ln_valid
+
+
 # ---------------------------------------------------------------------------
 # keyframe-event fetch unpacking (host side of track_step.pack_kf_event)
 # ---------------------------------------------------------------------------

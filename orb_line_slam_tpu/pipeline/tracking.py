@@ -612,14 +612,6 @@ class Tracker:
                     pt, jnp.asarray(pack_delta_pos(m, dirty_pos))
                 )
 
-        # --- ref tables + snapshot ids: one int32 upload ---
-        aux = np.concatenate([
-            m.kf_obs_lm[k].astype(np.int32), snap_ids
-        ])
-        aux_dev = jnp.asarray(aux)
-        F = m.F
-        ref_slots = aux_dev[:F]
-        snap_dev = aux_dev[F:]
         if self._ref_frame_dev is not None and self._ref_frame_kf == k:
             fr = self._ref_frame_dev
             ref_xy, ref_desc, ref_angle = fr.xy, fr.desc, fr.angle
@@ -646,6 +638,20 @@ class Tracker:
             ln_ends[:nl] = m.ln_end[ln_ids]
             ln_descs[:nl] = m.ln_desc[ln_ids]
             ln_valid[:nl] = True
+
+        # --- ref slots + snapshot ids + line table: ONE packed upload ---
+        from .mirror import unpack_mirror_aux
+
+        F = m.F
+        uu = lambda a: np.ascontiguousarray(a).view(np.uint32).ravel()  # noqa: E731
+        aux = np.concatenate([
+            uu(m.kf_obs_lm[k].astype(np.int32)), uu(snap_ids),
+            uu(ln_starts), uu(ln_ends),
+            uu(ln_descs), ln_valid.astype(np.uint32),
+        ])
+        ref_slots, snap_dev, ln_start_d, ln_end_d, ln_desc_d, ln_valid_d = (
+            unpack_mirror_aux(jnp.asarray(aux), F, cap, Lcap)
+        )
 
         # The snapshot is changing: re-index the in-flight found/visible
         # accumulator carries (points AND lines) from old slots to new
@@ -690,10 +696,10 @@ class Tracker:
             "ref_slots": ref_slots,
             "snap_ids": snap_dev,
             "snap_host": lm,
-            "ln_start": jnp.asarray(ln_starts),
-            "ln_end": jnp.asarray(ln_ends),
-            "ln_desc": jnp.asarray(ln_descs),
-            "ln_valid": jnp.asarray(ln_valid),
+            "ln_start": ln_start_d,
+            "ln_end": ln_end_d,
+            "ln_desc": ln_desc_d,
+            "ln_valid": ln_valid_d,
             "ln_ids": ln_ids,
             "has_lines": has_lines,
             "ref_kf": k,

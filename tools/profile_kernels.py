@@ -155,6 +155,10 @@ def main():
     bench("loop/BoW transform 10^5 words (2048 desc)",
           lambda: voc100k.dispatch_transform(descs),
           note="5-level descent, 100k-leaf synthesized tree")
+    voc1m = Vocabulary.synthesize(k=10, depth=6, seed=0)
+    bench("loop/BoW transform 10^6 words (2048 desc)",
+          lambda: voc1m.dispatch_transform(descs),
+          note="6-level descent, 1M-leaf tree (reference ORBvoc scale)")
 
     lines = [
         "# PROFILE — per-device-program kernel times (real chip)",
