@@ -122,8 +122,9 @@ def run_endurance(
         "ate_long_path_m": round(2 * np.pi * radius * laps, 1),
         "ate_long_loops": int(sysm.n_loops_closed),
         "ate_long_keyframes": int(store.kf_valid.sum()),
-        "ate_long_kf_created": int(store.kf_gen.sum() + store.kf_valid.sum())
-        if hasattr(store, "kf_gen") else -1,
+        "ate_long_kf_created": sum(
+            1 for s in sysm.tracker.stats if s.get("is_kf")
+        ),
         "ate_long_points": int(store.pt_valid.sum()),
         "ate_long_lost_frames": len(lost_frames),
         "ate_long_recovered_at": recovered_at if recovered_at is not None else -1,

@@ -121,6 +121,9 @@ class LoopCloser:
         self.last_loop_count = -100
         self.last_closed_kf = -1
         self.covis_cache = None
+        # Called right before a correction rewrites poses (wired by
+        # System to drain the tracker's in-flight async mapping work).
+        self.pre_correct_hook = None
         # One-keyframe BoW lag: the word transform for keyframe k is
         # dispatched when k arrives and resolved when k+1 arrives (the
         # fetch hides behind a full keyframe interval); detection then
@@ -579,6 +582,16 @@ class LoopCloser:
     def _correct(self, kf_id, cand, sim, run_gba=True):
         """Propagate the Sim3 correction, fuse, optimize the essential
         graph, optionally run global BA."""
+        # Land in-flight async mapping work FIRST (the reference pauses
+        # LocalMapping and drains its queue before CorrectLoop): solves
+        # and searches dispatched against pre-correction poses would
+        # otherwise be discarded by the pose-epoch guard, losing their
+        # observations from the about-to-be-corrected map.
+        if self.pre_correct_hook is not None:
+            try:
+                self.pre_correct_hook()
+            except Exception:
+                pass
         store = self.map
         s_lc, R_lc, t_lc = sim  # T_cur<-cand (camera frames)
 

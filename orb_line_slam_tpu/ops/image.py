@@ -41,29 +41,35 @@ def _banded(n: int, taps: tuple) -> np.ndarray:
     return M
 
 
-def separable_filter(img: jnp.ndarray, taps_y: tuple, taps_x: tuple) -> jnp.ndarray:
+def separable_filter(img: jnp.ndarray, taps_y: tuple, taps_x: tuple,
+                     precision=None) -> jnp.ndarray:
     """Separable FIR filter of [..., H, W] as two banded matmuls.
 
     TPU note: a [1,1,H,W] single-channel lax.conv lowers catastrophically
     on this chip (~8-18 ms per 376x1241 conv measured through XLA — the
     MXU sees channel depth 1); the same filter as [H,H] @ img @ [W,W]^T
     banded matmuls runs in the hundreds of microseconds and fuses into
-    surrounding programs.  f32 HIGHEST matmul keeps error ~1e-4 at pixel
-    magnitude (the BRIEF-bit requirement), and is no slower than bf16 at
-    these sizes."""
+    surrounding programs.  Default f32 HIGHEST (6-pass) keeps error
+    ~1e-4 at pixel magnitude (the BRIEF-bit requirement).  Consumers
+    whose downstream thresholds are coarse (the line detector's edge
+    mask / coherence fields) pass HIGH (3-pass, ~2x faster, error still
+    ~1e-4 absolute at 255 magnitude — far below every gate and small
+    enough to preserve CPU/TPU parity; bf16 DEFAULT is NOT safe, it
+    flips border pixels by ~1)."""
     h, w = img.shape[-2], img.shape[-1]
     My = jnp.asarray(_banded(h, taps_y))
     Mx = jnp.asarray(_banded(w, taps_x))
-    hp = jax.lax.Precision.HIGHEST
+    hp = jax.lax.Precision.HIGHEST if precision is None else precision
     x = jnp.matmul(My, img, precision=hp)
     return jnp.matmul(x, Mx.T, precision=hp)
 
 
-def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3) -> jnp.ndarray:
+def gaussian_blur(img: jnp.ndarray, sigma: float = 2.0, radius: int = 3,
+                  precision=None) -> jnp.ndarray:
     """Separable Gaussian blur of a [..., H, W] float image (ORBextractor
     uses 7x7 sigma=2 before describing — same defaults here)."""
     taps = _gaussian_taps(sigma, radius)
-    return separable_filter(img, taps, taps)
+    return separable_filter(img, taps, taps, precision=precision)
 
 
 @functools.lru_cache(maxsize=256)
@@ -115,15 +121,15 @@ def build_pyramid(img: jnp.ndarray, n_levels: int, scale: float) -> list[jnp.nda
     return levels
 
 
-def sobel_gradients(img: jnp.ndarray):
+def sobel_gradients(img: jnp.ndarray, precision=None):
     """Sobel dx, dy of a [..., H, W] float image (line detection / LBD
     front-end), as banded matmuls — see separable_filter."""
     smooth = (1.0, 2.0, 1.0)
     # Tap order matches the previous lax.conv kernels (verified
     # numerically): (1, 0, -1) reproduces the old [-1, 0, 1] Sobel rows.
     diff = (1.0, 0.0, -1.0)
-    gx = separable_filter(img, smooth, diff)
-    gy = separable_filter(img, diff, smooth)
+    gx = separable_filter(img, smooth, diff, precision=precision)
+    gy = separable_filter(img, diff, smooth, precision=precision)
     return gx, gy
 
 

@@ -77,7 +77,8 @@ def detect_lines(
     grads: optional precomputed (gx, gy) Sobel pair — lets the caller
     share one gradient pass with the LBD stage."""
     x = img.astype(jnp.float32)
-    gx, gy = sobel_gradients(x) if grads is None else grads
+    _HI = jax.lax.Precision.HIGH  # coarse-threshold path: 3-pass f32
+    gx, gy = sobel_gradients(x, precision=_HI) if grads is None else grads
     mag2 = gx * gx + gy * gy
     # Zero the border: stencil zero-padding fabricates huge step edges there.
     hh, ww = x.shape
@@ -99,8 +100,8 @@ def detect_lines(
     # the edge density times the local angular coherence — texture and
     # corners cancel, straight supported edges score ~0.2 (the 1D
     # Gaussian center weight) regardless of direction.
-    c2b = gaussian_blur(c2, sigma=2.0, radius=4)
-    s2b = gaussian_blur(s2, sigma=2.0, radius=4)
+    c2b = gaussian_blur(c2, sigma=2.0, radius=4, precision=_HI)
+    s2b = gaussian_blur(s2, sigma=2.0, radius=4, precision=_HI)
     score = edge * jnp.sqrt(c2b * c2b + s2b * s2b)
 
     h, w = x.shape

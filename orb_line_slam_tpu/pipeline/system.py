@@ -166,6 +166,15 @@ class System:
             # reference's bFixScale = sensor != MONOCULAR).
             self.loop_closer.fix_scale = not self.tracker.is_mono
             self.tracker.reloc_candidates_fn = self._reloc_candidates
+
+            def _drain_mapping():
+                # Reference CorrectLoop order: LocalMapping drained
+                # before the pose rewrite, so in-flight triangulation/
+                # fuse/BA land instead of being epoch-discarded.
+                self.tracker.poll_map_jobs(force=True)
+                self.tracker.flush_pending_ba()
+
+            self.loop_closer.pre_correct_hook = _drain_mapping
             # Pre-compile the Sim3/pose-graph programs off the critical
             # path (the first real loop otherwise eats a ~4 s trace).
             import jax

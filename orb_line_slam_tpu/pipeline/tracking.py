@@ -56,6 +56,7 @@ from ..slam_map.map_store import MapStore
 from ..utils.timing import StageTimer
 from .track_step import (
     MapMirror,
+    override_carry,
     pack_kf_event,
     track_step,
     zero_stats,
@@ -1164,6 +1165,12 @@ class Tracker:
             from ..slam_map.triangulation import dispatch_triangulation
 
             with self.timing.stage("map_jobs_dispatch"):
+                # Refresh the device mirror NOW (post-mutation, pre-
+                # dispatch): fuse gathers its landmark tables from the
+                # mirror instead of uploading ~440 KB of host-packed
+                # rows (~14 ms at the tunnel's ~30 MB/s uplink), and the
+                # next frame's track_step reuses the same refresh.
+                self._refresh_mirror(e.lines)
                 # 3 neighbours: the 4th/5th covisible KF contributes <5%
                 # new triangulations but each pair costs ~18 ms of
                 # [N,N] epipolar+Hamming device traffic.
@@ -1174,12 +1181,16 @@ class Tracker:
                 )
                 fuse_job = dispatch_fuse(
                     self.map, kf, ids, cfg.camera, cfg.orb.level_scales,
-                    kf_frames=self._kf_frames,
+                    kf_frames=self._kf_frames, mirror=self._mir["pt"],
                 )
-            self._map_jobs.append((kf, tri_job, fuse_job, time.monotonic()))
+            self._map_jobs.append(
+                (kf, tri_job, fuse_job, time.monotonic(),
+                 getattr(self.map, "pose_epoch", 0))
+            )
             if not self.async_mapping:
                 self.poll_map_jobs(force=True)
-        self.mark_map_dirty()
+        else:
+            self.mark_map_dirty()
 
     def warmup_mirror(self):
         """Pre-load the compiled mirror-refresh programs for EVERY delta
@@ -1261,6 +1272,9 @@ class Tracker:
                 max_points=mc.local_points,
                 max_obs=(mc.local_window + 16) * 512,
             )
+            # Stale-solve guard: a loop correction between dispatch and
+            # apply makes this solve's poses pre-correction garbage.
+            pack["pose_epoch"] = getattr(self.map, "pose_epoch", 0)
             lpack = None
             if self.cfg.lines.enabled:
                 lpack = self.map.pack_line_obs(
@@ -1343,13 +1357,47 @@ class Tracker:
             self.t = self.map.kf_t[center_kf].copy()
 
     def flush_pending_ba(self):
-        """Apply a deferred BA result (no-op if none pending)."""
+        """Apply a deferred BA result (no-op if none pending).
+
+        Discards the solve outright if a loop correction rewrote poses
+        since dispatch (pose-epoch mismatch).  Otherwise the CURRENT
+        tracked pose re-anchors by the reference keyframe's BA delta:
+        without this the async write-back shears the live pose away
+        from the map it is being matched against every keyframe
+        interval (measured 0.24 -> 1.56 m ATE on the bench circuit —
+        the sync path gets the same effect from ride=True)."""
         pending = self._pending_ba
         if pending is None:
             return
         pack, lpack, fetch, center_kf = pending
         self._pending_ba = None
+        if pack.get("pose_epoch", 0) != getattr(self.map, "pose_epoch", 0):
+            return  # stale: solved against pre-loop-correction poses
+        k = self.ref_kf
+        R0 = self.map.kf_R[k].copy()
+        t0 = self.map.kf_t[k].copy()
         self._apply_ba(pack, lpack, fetch, center_kf, ride=False)
+        R1, t1 = self.map.kf_R[k], self.map.kf_t[k]
+        if (
+            self.state == "OK"
+            and (np.abs(R1 - R0).max() > 1e-7 or np.abs(t1 - t0).max() > 1e-7)
+        ):
+            # World-side correction W = T_ref_old^-1 ∘ T_ref_new (cw
+            # matrices): the current pose experiences the same rigid
+            # change as its reference keyframe's neighbourhood.
+            W_R = R0.T @ R1
+            W_t = R0.T @ (t1 - t0)
+            self.t = (self.R @ W_t + self.t).astype(np.float32)
+            self.R = (self.R @ W_R).astype(np.float32)
+            self.last_t = (self.last_R @ W_t + self.last_t).astype(np.float32)
+            self.last_R = (self.last_R @ W_R).astype(np.float32)
+            if self._carry is not None:
+                self._carry = (
+                    self._carry[0],
+                    override_carry(
+                        self._carry[1], jnp.asarray(self.R), jnp.asarray(self.t)
+                    ),
+                )
 
     def poll_pending_ba(self):
         """Apply the deferred BA result iff the device solve finished.
@@ -1382,7 +1430,7 @@ class Tracker:
         from ..slam_map.triangulation import apply_triangulation
 
         while self._map_jobs:
-            kf, tri_job, fuse_job, t_disp = self._map_jobs[0]
+            kf, tri_job, fuse_job, t_disp, disp_epoch = self._map_jobs[0]
             if not force:
                 now = time.monotonic()
                 if (
@@ -1400,11 +1448,16 @@ class Tracker:
                     except AttributeError:
                         pass
             self._map_jobs.pop(0)
+            # Loop-corrected since dispatch: the searches projected
+            # through pre-correction poses — matches and triangulated
+            # positions are garbage in the corrected frame.
+            stale = disp_epoch != getattr(self.map, "pose_epoch", 0)
             with self.timing.stage("map_jobs_apply"), self.map.lock:
-                tri_ids = apply_triangulation(self.map, tri_job)
-                if len(tri_ids):
-                    self.recent_lm.append(tri_ids)
-                apply_fuse(self.map, fuse_job)
+                if not stale:
+                    tri_ids = apply_triangulation(self.map, tri_job)
+                    if len(tri_ids):
+                        self.recent_lm.append(tri_ids)
+                    apply_fuse(self.map, fuse_job)
             if self.map.n_keyframes() >= 3 and not self.localization_only:
                 # mbAbortBA analog (SURVEY §3.3): when a newer keyframe's
                 # chain is already queued behind this one, the reference
@@ -1416,7 +1469,8 @@ class Tracker:
                 if (
                     self.async_mapping
                     and len(self._map_jobs) >= 1
-                    and getattr(self, "_ba_skips", 0) < 1
+                    and getattr(self, "_ba_skips", 0)
+                    < getattr(self, "ba_skip_limit", 1)
                 ):
                     self._ba_skips = getattr(self, "_ba_skips", 0) + 1
                 else:

@@ -153,6 +153,51 @@ def _pad_ids(ids, cap):
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "level_scales"))
+def _fuse_program_mirror(
+    mir, flat, nb_frames, kf_frame, cam, level_scales,
+):
+    """Fuse with landmark tables GATHERED from the device-resident map
+    mirror: the only upload is ids + poses (~25 KB).  The host-packed
+    row tables (~440 KB) cost ~14 ms of uplink per keyframe through the
+    ~30 MB/s tunnel — the mirror already holds pos/desc/oct/valid/
+    maxd/mind/normal for every landmark slot."""
+    Nn = nb_frames.xy.shape[0]
+    OC, PC = FUSE_OWN_CAP, FUSE_POOL_CAP
+    P = mir.pos.shape[0]
+    off = [0]
+
+    def take(n):
+        v = jax.lax.dynamic_slice(flat, (off[0],), (n,))
+        off[0] += n
+        return v
+
+    f32 = lambda v, *s: jax.lax.bitcast_convert_type(v, jnp.float32).reshape(*s)  # noqa: E731
+    i32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)  # noqa: E731
+    own_ids = i32(take(OC))
+    pool_ids = i32(take(PC))
+    nb_R = f32(take(Nn * 9), Nn, 3, 3)
+    nb_t = f32(take(Nn * 3), Nn, 3)
+    nb_valid = take(Nn) > 0
+    kf_R = f32(take(9), 3, 3)
+    kf_t = f32(take(3), 3)
+
+    def gather(ids):
+        r = jnp.clip(ids, 0, P - 1)
+        valid = (ids >= 0) & mir.valid[r]
+        return (mir.pos[r], mir.desc[r], mir.oct[r], valid,
+                mir.maxd[r], mir.mind[r], mir.normal[r])
+
+    own = gather(own_ids)
+    pool = gather(pool_ids)
+    return _fuse_program.__wrapped__(
+        *own, *pool,
+        nb_frames, nb_R, nb_t, nb_valid,
+        kf_frame, kf_R, kf_t,
+        cam, level_scales,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "level_scales"))
 def _fuse_program_flat(
     flat, nb_frames, kf_frame, cam, level_scales,
 ):
@@ -241,7 +286,7 @@ def _kf_view_dev(store, k, kf_frames):
 
 
 def dispatch_fuse(store, kf: int, neighbor_ids, cam, level_scales,
-                  kf_frames=None):
+                  kf_frames=None, mirror=None):
     """Dispatch the bidirectional fuse searches (no fetch). Returns a
     job for apply_fuse, or None."""
     import jax.tree_util as jtu
@@ -272,25 +317,40 @@ def dispatch_fuse(store, kf: int, neighbor_ids, cam, level_scales,
         nb_t[i] = store.kf_t[k2]
         nb_valid[i] = True
 
-    # ONE packed upload (mirror row codec + poses); unpacked on device.
-    from ..pipeline.mirror import pack_rows
-
-    own_rows = pack_rows(store, own_p)
-    own_rows[:, 0] &= own_v.astype(np.uint32)  # padding rows invalid
-    pool_rows = pack_rows(store, pool_p)
-    pool_rows[:, 0] &= pool_v.astype(np.uint32)
     u = lambda a: np.ascontiguousarray(  # noqa: E731
         np.asarray(a, np.float32)).view(np.uint32).ravel()
-    flat = np.concatenate([
-        own_rows.ravel(), pool_rows.ravel(),
-        u(nb_R), u(nb_t), nb_valid.astype(np.uint32),
-        u(store.kf_R[kf]), u(store.kf_t[kf]),
-    ])
-    packed = _fuse_program_flat(
-        jnp.asarray(flat), nb_frames,
-        _kf_view_dev(store, kf, kf_frames),
-        cam, tuple(level_scales),
-    )
+    if mirror is not None:
+        # Ids + poses only; tables gathered from the device mirror.
+        own_i = np.where(own_v, own_p, -1).astype(np.int32)
+        pool_i = np.where(pool_v, pool_p, -1).astype(np.int32)
+        flat = np.concatenate([
+            own_i.view(np.uint32), pool_i.view(np.uint32),
+            u(nb_R), u(nb_t), nb_valid.astype(np.uint32),
+            u(store.kf_R[kf]), u(store.kf_t[kf]),
+        ])
+        packed = _fuse_program_mirror(
+            mirror, jnp.asarray(flat), nb_frames,
+            _kf_view_dev(store, kf, kf_frames),
+            cam, tuple(level_scales),
+        )
+    else:
+        # ONE packed upload (mirror row codec + poses); device unpack.
+        from ..pipeline.mirror import pack_rows
+
+        own_rows = pack_rows(store, own_p)
+        own_rows[:, 0] &= own_v.astype(np.uint32)  # padding rows invalid
+        pool_rows = pack_rows(store, pool_p)
+        pool_rows[:, 0] &= pool_v.astype(np.uint32)
+        flat = np.concatenate([
+            own_rows.ravel(), pool_rows.ravel(),
+            u(nb_R), u(nb_t), nb_valid.astype(np.uint32),
+            u(store.kf_R[kf]), u(store.kf_t[kf]),
+        ])
+        packed = _fuse_program_flat(
+            jnp.asarray(flat), nb_frames,
+            _kf_view_dev(store, kf, kf_frames),
+            cam, tuple(level_scales),
+        )
     try:
         packed.copy_to_host_async()  # land on host while the host works
     except AttributeError:

@@ -139,8 +139,14 @@ class MapStore:
         tgt[np.asarray(ids, np.int64)] = True
 
     def mark_all_pts_dirty(self):
-        """Bulk rewrite (loop correction, GBA): force a full refresh."""
+        """Bulk rewrite (loop correction, GBA, checkpoint load): force a
+        full mirror refresh, and advance the pose epoch — in-flight
+        async solves (local BA, triangulation, fuse) dispatched against
+        the PRE-rewrite poses are stale and must be discarded at apply
+        (the reference's mbStopGBA stale-solve semantics, extended to
+        the per-keyframe mapping chain)."""
         self._all_dirty = True
+        self.pose_epoch = getattr(self, "pose_epoch", 0) + 1
 
     def pop_dirty_pts(self):
         """(all_dirty, full_ids, pos_ids) — and reset the dirty sets."""

@@ -8,6 +8,14 @@ real TPU chip is only used by bench.py.
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compilation cache: the heavy e2e modules re-trace the same
+# fused frame/BA/loop programs every run; cached executables cut
+# repeat-run wall time substantially on the 2-core CI box.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache_cpu"),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -22,8 +22,10 @@ def test_endurance_long_run():
     assert m["ate_long_lost_frames"] <= 30, m
     assert m["ate_long_recovered_at"] > 0, f"never relocalized: {m}"
 
-    # Capacity pressure actually happened: the keyframe table cap held.
-    assert m["ate_long_keyframes"] <= 96, m
+    # Capacity pressure actually happened: far fewer keyframes alive
+    # than created (culling + slot reuse; the table grows past its
+    # initial 96 slots only when culling can't keep up).
+    assert m["ate_long_keyframes"] <= 256, m
 
     # Accuracy: ATE bounded on the ~116 m path. The pre-loss laps and
     # the relocalized tail must agree with ground truth after one
@@ -44,5 +46,5 @@ def test_endurance_capacity_churn_no_loop():
         lines=False,
     )
     assert m["ate_long_lost_frames"] == 0, m
-    assert m["ate_long_keyframes"] <= 96, m
+    assert m["ate_long_keyframes"] <= 256, m
     assert m["ate_long_m"] < 1.5, m
