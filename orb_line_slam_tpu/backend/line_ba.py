@@ -387,13 +387,28 @@ def bundle_adjust_pl(
         U = jnp.where(accept, U2, U)
         w = jnp.where(accept, w2, w)
         lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 5.0), 1e-9, 1e5)
-        return (R, t, points, U, w, lam), None
+        rel = (err0 - err1) / jnp.maximum(err0, 1e-12)
+        return (R, t, points, U, w, lam), accept, rel
 
     def run_stage(R, t, points, U, w, ov, lov, n_iters, use_huber):
+        """Early-exit LM stage (see local_ba.run_stage): stop after two
+        consecutive accepted steps with <0.1% chi2 gain."""
         body = functools.partial(lm_iteration, ov=ov, lov=lov, use_huber=use_huber)
-        (R, t, points, U, w, _), _ = jax.lax.scan(
-            body, (R, t, points, U, w, jnp.float32(1e-4)), None, length=n_iters
-        )
+
+        def cond(st):
+            _, it, conv_ct = st
+            return (it < n_iters) & (conv_ct < 2)
+
+        def step(st):
+            carry, it, conv_ct = st
+            carry, accept, rel = body(carry, None)
+            conv_ct = jnp.where(
+                accept & (rel < 1e-3), conv_ct + 1, jnp.where(accept, 0, conv_ct)
+            )
+            return carry, it + 1, conv_ct
+
+        init = ((R, t, points, U, w, jnp.float32(1e-4)), jnp.int32(0), jnp.int32(0))
+        (R, t, points, U, w, _), _, _ = jax.lax.while_loop(cond, step, init)
         return R, t, points, U, w
 
     R, t, points, U, w = run_stage(

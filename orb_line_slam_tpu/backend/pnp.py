@@ -13,6 +13,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+_HI = jax.lax.Precision.HIGHEST  # small-K geometry: bf16-unsafe
 
 from ..geometry.camera import CameraIntrinsics, project
 from .sim3_solver import horn_alignment
@@ -25,7 +26,7 @@ def _epnp_single(pw: jnp.ndarray, uv: jnp.ndarray, cam: CameraIntrinsics):
     # Control points: centroid + principal axes.
     c0 = jnp.mean(pw, axis=0)
     centered = pw - c0
-    cov = centered.T @ centered / n
+    cov = jnp.matmul(centered.T, centered, precision=_HI) / n
     w, v = jnp.linalg.eigh(cov)
     scales = jnp.sqrt(jnp.clip(w, 1e-8, None))
     C = jnp.concatenate([c0[None], c0[None] + v.T * scales[:, None]], axis=0)  # [4,3]
@@ -46,7 +47,7 @@ def _epnp_single(pw: jnp.ndarray, uv: jnp.ndarray, cam: CameraIntrinsics):
         [zeros, alpha * fv, alpha * (vc - vv)[:, None]], axis=1
     )
     M = jnp.concatenate([rows_u, rows_v], axis=0)  # [2n, 12]
-    MtM = M.T @ M
+    MtM = jnp.matmul(M.T, M, precision=_HI)
     _, vecs = jnp.linalg.eigh(MtM)
     x = vecs[:, 0]  # smallest eigenvector
     Cc = jnp.stack([x[0:4], x[4:8], x[8:12]], axis=1)  # [4,3] per block layout
@@ -57,7 +58,7 @@ def _epnp_single(pw: jnp.ndarray, uv: jnp.ndarray, cam: CameraIntrinsics):
     beta = jnp.sum(dw * dc) / jnp.maximum(jnp.sum(dc * dc), 1e-12)
     Cc = Cc * beta
     # positive depth: points should be in front (z>0 on average)
-    pc = alpha @ Cc
+    pc = jnp.matmul(alpha, Cc, precision=_HI)
     sign = jnp.where(jnp.mean(pc[:, 2]) < 0, -1.0, 1.0)
     Cc = Cc * sign
 
@@ -89,7 +90,7 @@ def solve_pnp_ransac(
 
     Rs, ts = jax.vmap(hyp)(jnp.arange(n_hyps))
     # Score all hypotheses.
-    pc = jnp.einsum("hij,nj->hni", Rs, points_w) + ts[:, None, :]
+    pc = jnp.einsum("hij,nj->hni", Rs, points_w, precision=_HI) + ts[:, None, :]
     pred = project(cam, pc)
     err = jnp.sum((pred - uv[None]) ** 2, axis=-1)
     ok = (err < 5.991 * sigma2[None]) & (pc[..., 2] > 0.05) & valid[None]

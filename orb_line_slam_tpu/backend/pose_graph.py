@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+_HI = jax.lax.Precision.HIGHEST  # small-K geometry: bf16-unsafe
 
 from ..geometry.sim3 import (
     sim3_compose,
@@ -84,15 +85,15 @@ def optimize_pose_graph(
 
         H = jnp.zeros((K, 7, K, 7))
         g = jnp.zeros((K, 7))
-        JiTJi = jnp.einsum("edi,edj,e->eij", Ji, Ji, w)
-        JjTJj = jnp.einsum("edi,edj,e->eij", Jj, Jj, w)
-        JiTJj = jnp.einsum("edi,edj,e->eij", Ji, Jj, w)
+        JiTJi = jnp.einsum("edi,edj,e->eij", Ji, Ji, w, precision=_HI)
+        JjTJj = jnp.einsum("edi,edj,e->eij", Jj, Jj, w, precision=_HI)
+        JiTJj = jnp.einsum("edi,edj,e->eij", Ji, Jj, w, precision=_HI)
         H = H.at[edge_i, :, edge_i, :].add(JiTJi)
         H = H.at[edge_j, :, edge_j, :].add(JjTJj)
         H = H.at[edge_i, :, edge_j, :].add(JiTJj)
         H = H.at[edge_j, :, edge_i, :].add(jnp.swapaxes(JiTJj, -1, -2))
-        g = g.at[edge_i].add(jnp.einsum("edi,ed,e->ei", Ji, r, w))
-        g = g.at[edge_j].add(jnp.einsum("edi,ed,e->ei", Jj, r, w))
+        g = g.at[edge_i].add(jnp.einsum("edi,ed,e->ei", Ji, r, w, precision=_HI))
+        g = g.at[edge_j].add(jnp.einsum("edi,ed,e->ei", Jj, r, w, precision=_HI))
 
         m = jnp.repeat(mask_free.astype(jnp.float32), 7)
         if fix_scale:

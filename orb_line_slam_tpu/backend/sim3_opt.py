@@ -24,6 +24,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+_HI = jax.lax.Precision.HIGHEST  # small-K geometry: bf16-unsafe
 
 from ..geometry.camera import CameraIntrinsics, project
 from ..geometry.sim3 import sim3_inverse, sim3_retract
@@ -38,10 +39,10 @@ class Sim3OptResult(NamedTuple):
 
 
 def _residuals(s, R, t, pts1, pts2, obs1, obs2, cam1, cam2):
-    p2in1 = s * (pts2 @ R.T) + t
+    p2in1 = s * jnp.matmul(pts2, R.T, precision=_HI) + t
     e1 = obs1 - project(cam1, p2in1)
     si, Ri, ti = sim3_inverse(s, R, t)
-    p1in2 = si * (pts1 @ Ri.T) + ti
+    p1in2 = si * jnp.matmul(pts1, Ri.T, precision=_HI) + ti
     e2 = obs2 - project(cam2, p1in2)
     return e1, e2, p2in1[..., 2], p1in2[..., 2]
 
@@ -108,8 +109,8 @@ def optimize_sim3(
         w = jnp.where(row_ok, w, 0.0)
         r = jnp.where(row_ok[:, None], r, 0.0)
         J = jnp.where(row_ok[:, None, None], J, 0.0)
-        H = jnp.einsum("nrk,n,nrl->kl", J, w, J)
-        g = jnp.einsum("nrk,n,nr->k", J, w, r)
+        H = jnp.einsum("nrk,n,nrl->kl", J, w, J, precision=_HI)
+        g = jnp.einsum("nrk,n,nr->k", J, w, r, precision=_HI)
         if fix_scale:
             # Freeze the scale coordinate: unit row/col, zero gradient.
             H = H.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)

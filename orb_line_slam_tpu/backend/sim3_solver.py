@@ -14,6 +14,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+_HI = jax.lax.Precision.HIGHEST  # small-K geometry: bf16-unsafe
 
 from ..geometry.camera import CameraIntrinsics, project
 
@@ -30,17 +31,17 @@ def horn_alignment(p1: jnp.ndarray, p2: jnp.ndarray, fix_scale: bool):
     x2 = p2 - c2
     M = jnp.einsum("...ni,...nj->...ij", x1, x2)  # correlation
     U, D, Vt = jnp.linalg.svd(M)
-    det = jnp.linalg.det(U @ Vt)
+    det = jnp.linalg.det(jnp.matmul(U, Vt, precision=_HI))
     S = jnp.broadcast_to(jnp.eye(3), M.shape).copy()
     S = S.at[..., 2, 2].set(det)
-    R = U @ S @ Vt
+    R = jnp.matmul(jnp.matmul(U, S, precision=_HI), Vt, precision=_HI)
     if fix_scale:
         s = jnp.ones(M.shape[:-2])
     else:
-        num = jnp.sum(x1 * jnp.einsum("...ij,...nj->...ni", R, x2), axis=(-2, -1))
+        num = jnp.sum(x1 * jnp.einsum("...ij,...nj->...ni", R, x2, precision=_HI), axis=(-2, -1))
         den = jnp.sum(x2 * x2, axis=(-2, -1)) + 1e-12
         s = num / den
-    t = c1[..., 0, :] - s[..., None] * jnp.einsum("...ij,...j->...i", R, c2[..., 0, :])
+    t = c1[..., 0, :] - s[..., None] * jnp.einsum("...ij,...j->...i", R, c2[..., 0, :], precision=_HI)
     return s, R, t
 
 
@@ -73,14 +74,14 @@ def solve_sim3_ransac(
     # Score: symmetric reprojection error.
     def reproj_inliers(s, R, t):
         # transform pts2 into frame 1
-        p2in1 = s[..., None, None] * jnp.einsum("hij,nj->hni", R, pts2) + t[:, None, :]
+        p2in1 = s[..., None, None] * jnp.einsum("hij,nj->hni", R, pts2, precision=_HI) + t[:, None, :]
         uv1 = project(cam1, p2in1)
         e1 = jnp.sum((uv1 - project(cam1, pts1)[None]) ** 2, axis=-1)
         # inverse transform pts1 into frame 2
         s_i = 1.0 / s
         R_i = jnp.swapaxes(R, -1, -2)
-        t_i = -s_i[:, None] * jnp.einsum("hij,hj->hi", R_i, t)
-        p1in2 = s_i[..., None, None] * jnp.einsum("hij,nj->hni", R_i, pts1) + t_i[:, None, :]
+        t_i = -s_i[:, None] * jnp.einsum("hij,hj->hi", R_i, t, precision=_HI)
+        p1in2 = s_i[..., None, None] * jnp.einsum("hij,nj->hni", R_i, pts1, precision=_HI) + t_i[:, None, :]
         uv2 = project(cam2, p1in2)
         e2 = jnp.sum((uv2 - project(cam2, pts2)[None]) ** 2, axis=-1)
         ok = (e1 < 9.21 * sigma2_1[None]) & (e2 < 9.21 * sigma2_2[None])

@@ -16,6 +16,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+# Small-K geometry contractions: TPU default bf16 rounding corrupts
+# DLT/reprojection at pixel scale (tools/exp_numerics.py); HIGHEST is
+# free at these shapes.
+_HI = jax.lax.Precision.HIGHEST
+
 from ..geometry.camera import CameraIntrinsics
 
 
@@ -68,7 +73,7 @@ def _homography_score(H, p1, p2, sigma2):
     """Symmetric transfer error score (Initializer::CheckHomography)."""
     def transfer(H, a, b):
         ah = jnp.concatenate([a, jnp.ones((a.shape[0], 1))], axis=1)
-        bh = ah @ H.T
+        bh = jnp.matmul(ah, H.T, precision=_HI)
         w = jnp.where(jnp.abs(bh[:, 2:3]) < 1e-9, 1e-9, bh[:, 2:3])
         return jnp.sum((bh[:, :2] / w - b) ** 2, axis=1)
 
@@ -85,8 +90,8 @@ def _fundamental_score(F, p1, p2, sigma2):
     """Symmetric epipolar distance score (Initializer::CheckFundamental)."""
     ah = jnp.concatenate([p1, jnp.ones((p1.shape[0], 1))], axis=1)
     bh = jnp.concatenate([p2, jnp.ones((p2.shape[0], 1))], axis=1)
-    l2 = ah @ F.T  # line in image 2
-    l1 = bh @ F
+    l2 = jnp.matmul(ah, F.T, precision=_HI)  # line in image 2
+    l1 = jnp.matmul(bh, F, precision=_HI)
     d2 = (jnp.sum(bh * l2, axis=1) ** 2) / (l2[:, 0] ** 2 + l2[:, 1] ** 2 + 1e-12)
     d1 = (jnp.sum(ah * l1, axis=1) ** 2) / (l1[:, 0] ** 2 + l1[:, 1] ** 2 + 1e-12)
     th, th_score = 3.841, 5.991
@@ -125,10 +130,10 @@ def triangulate_two_view(R, t, K, p1, p2):
     A = jax.vmap(rows)(p1, p2)            # [N, 4, 4]
     A3 = A[:, :, :3]
     b3 = -A[:, :, 3]
-    M = jnp.einsum("nri,nrj->nij", A3, A3)
-    rhs = jnp.einsum("nri,nr->ni", A3, b3)
+    M = jnp.einsum("nri,nrj->nij", A3, A3, precision=_HI)
+    rhs = jnp.einsum("nri,nr->ni", A3, b3, precision=_HI)
     M = M + 1e-9 * jnp.eye(3)
-    return jnp.einsum("nij,nj->ni", inv33(M), rhs)
+    return jnp.einsum("nij,nj->ni", inv33(M), rhs, precision=_HI)
 
 
 def _check_rt(R, t, K, p1, p2, inl, sigma2):
@@ -136,12 +141,12 @@ def _check_rt(R, t, K, p1, p2, inl, sigma2):
     (n_good, points3d, good_mask, median_parallax_cos)."""
     pts = triangulate_two_view(R, t, K, p1, p2)
     z1 = pts[:, 2]
-    pc2 = pts @ R.T + t
+    pc2 = jnp.matmul(pts, R.T, precision=_HI) + t
     z2 = pc2[:, 2]
     # reprojection errors
-    pr1 = pts @ K.T
+    pr1 = jnp.matmul(pts, K.T, precision=_HI)
     pr1 = pr1[:, :2] / jnp.where(jnp.abs(pr1[:, 2:]) < 1e-9, 1e-9, pr1[:, 2:])
-    pr2 = pc2 @ K.T
+    pr2 = jnp.matmul(pc2, K.T, precision=_HI)
     pr2 = pr2[:, :2] / jnp.where(jnp.abs(pr2[:, 2:]) < 1e-9, 1e-9, pr2[:, 2:])
     e1 = jnp.sum((pr1 - p1) ** 2, axis=1)
     e2 = jnp.sum((pr2 - p2) ** 2, axis=1)

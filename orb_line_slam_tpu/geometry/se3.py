@@ -18,6 +18,11 @@ import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
+# Geometry matmuls are K=3 contractions: HIGHEST costs nothing on the
+# VPU, while TPU's default bf16 rounding injects ~0.4% into every pose
+# transform (measured 3 cm mean error on 30 m points — the r4 13x
+# TPU-vs-CPU drift gap's root cause, tools/exp_numerics.py).
+_HI = jax.lax.Precision.HIGHEST
 
 
 def hat(v: jnp.ndarray) -> jnp.ndarray:
@@ -39,7 +44,7 @@ def so3_exp(phi: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(phi * phi, axis=-1, keepdims=True)[..., None]
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     K = hat(phi)
-    K2 = K @ K
+    K2 = jnp.matmul(K, K, precision=_HI)
     # Taylor-safe coefficients.
     a = jnp.sin(theta) / theta
     b = (1.0 - jnp.cos(theta)) / theta2.clip(_EPS * _EPS)
@@ -77,7 +82,7 @@ def _left_jacobian(phi: jnp.ndarray) -> jnp.ndarray:
     theta2 = jnp.sum(phi * phi, axis=-1, keepdims=True)[..., None]
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     K = hat(phi)
-    K2 = K @ K
+    K2 = jnp.matmul(K, K, precision=_HI)
     b = (1.0 - jnp.cos(theta)) / theta2.clip(_EPS * _EPS)
     c = (theta - jnp.sin(theta)) / (theta2.clip(_EPS * _EPS) * theta)
     small = theta2 < 1e-12
@@ -91,7 +96,7 @@ def se3_exp(xi: jnp.ndarray):
     """se3 tangent [rho, phi] (6,) -> (R (3,3), t (3,)). Batched."""
     rho, phi = xi[..., :3], xi[..., 3:6]
     R = so3_exp(phi)
-    t = jnp.einsum("...ij,...j->...i", _left_jacobian(phi), rho)
+    t = jnp.einsum("...ij,...j->...i", _left_jacobian(phi), rho, precision=_HI)
     return R, t
 
 
@@ -105,19 +110,19 @@ def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
 
 def se3_compose(Ra, ta, Rb, tb):
     """(Ra,ta) * (Rb,tb): first apply b then a."""
-    R = Ra @ Rb
-    t = jnp.einsum("...ij,...j->...i", Ra, tb) + ta
+    R = jnp.matmul(Ra, Rb, precision=_HI)
+    t = jnp.einsum("...ij,...j->...i", Ra, tb, precision=_HI) + ta
     return R, t
 
 
 def se3_inverse(R, t):
     Rt = jnp.swapaxes(R, -1, -2)
-    return Rt, -jnp.einsum("...ij,...j->...i", Rt, t)
+    return Rt, -jnp.einsum("...ij,...j->...i", Rt, t, precision=_HI)
 
 
 def se3_apply(R, t, x):
     """Transform points x (...,3) by (R,t)."""
-    return jnp.einsum("...ij,...j->...i", R, x) + t
+    return jnp.einsum("...ij,...j->...i", R, x, precision=_HI) + t
 
 
 def se3_retract(R, t, xi):

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .se3 import _HI
+
 from .se3 import hat, so3_exp, so3_log, _EPS
 
 
@@ -22,21 +24,21 @@ def sim3_identity(dtype=jnp.float32):
 
 
 def sim3_apply(s, R, t, x):
-    return s[..., None] * jnp.einsum("...ij,...j->...i", R, x) + t
+    return s[..., None] * jnp.einsum("...ij,...j->...i", R, x, precision=_HI) + t
 
 
 def sim3_compose(sa, Ra, ta, sb, Rb, tb):
     """(sa,Ra,ta) ∘ (sb,Rb,tb): apply b then a."""
     s = sa * sb
-    R = Ra @ Rb
-    t = sa[..., None] * jnp.einsum("...ij,...j->...i", Ra, tb) + ta
+    R = jnp.matmul(Ra, Rb, precision=_HI)
+    t = sa[..., None] * jnp.einsum("...ij,...j->...i", Ra, tb, precision=_HI) + ta
     return s, R, t
 
 
 def sim3_inverse(s, R, t):
     Rt = jnp.swapaxes(R, -1, -2)
     s_inv = 1.0 / s
-    return s_inv, Rt, -s_inv[..., None] * jnp.einsum("...ij,...j->...i", Rt, t)
+    return s_inv, Rt, -s_inv[..., None] * jnp.einsum("...ij,...j->...i", Rt, t, precision=_HI)
 
 
 def _sim3_W(phi, sigma):
@@ -48,7 +50,7 @@ def _sim3_W(phi, sigma):
     theta2 = jnp.sum(phi * phi, axis=-1)
     theta = jnp.sqrt(theta2 + _EPS * _EPS)
     K = hat(phi)
-    K2 = K @ K
+    K2 = jnp.matmul(K, K, precision=_HI)
     es = jnp.exp(sigma)
 
     sig = sigma
@@ -90,7 +92,7 @@ def sim3_exp(xi):
     R = so3_exp(phi)
     s = jnp.exp(sigma)
     W = _sim3_W(phi, sigma)
-    t = jnp.einsum("...ij,...j->...i", W, rho)
+    t = jnp.einsum("...ij,...j->...i", W, rho, precision=_HI)
     return s, R, t
 
 

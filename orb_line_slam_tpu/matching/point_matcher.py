@@ -23,6 +23,8 @@ from ..geometry.camera import CameraIntrinsics, project_stereo
 from ..geometry.se3 import se3_apply
 from ..ops.hamming import TH_HIGH, TH_LOW, hamming_matrix, knn2
 
+_HI = jax.lax.Precision.HIGHEST  # small-K geometry: bf16-unsafe
+
 HISTO_BINS = 30
 
 
@@ -141,7 +143,7 @@ def search_by_projection(
     dist_ok = jnp.ones_like(in_front)
     view_ok = jnp.ones_like(in_front)
     if max_dist_p is not None:
-        cam_center = -jnp.einsum("ji,j->i", Rcw, tcw)
+        cam_center = -jnp.einsum("ji,j->i", Rcw, tcw, precision=_HI)
         view = points_w - cam_center
         dist = jnp.linalg.norm(view, axis=-1)
         octave_p = predict_scale(dist, max_dist_p, n_levels, scale_factor)

@@ -41,6 +41,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+_HI = jax.lax.Precision.HIGHEST  # small-K geometry: bf16-unsafe
 
 from ..backend.pnp import solve_pnp_ransac
 from ..backend.pose_opt import pose_optimize
@@ -270,7 +271,7 @@ def track_step(
     # test of the snapshot at the stage-1 pose.
     xc = se3_apply(R1, t1, snap_pos)
     uvr = project_stereo(cam, xc)
-    cc = -jnp.einsum("ji,j->i", R1, t1)
+    cc = -jnp.einsum("ji,j->i", R1, t1, precision=_HI)
     view = snap_pos - cc
     vdist = jnp.linalg.norm(view, axis=-1)
     cosang = jnp.sum(view * snap_normal, axis=-1) / jnp.maximum(vdist, 1e-6)
@@ -321,7 +322,7 @@ def track_step(
     R_out = jnp.where(ok, res2.R, R_last)
     t_out = jnp.where(ok, res2.t, t_last)
     # velocity = T_k ∘ T_{k-1}^{-1}
-    Ri, ti = R_last.T, -jnp.einsum("ji,j->i", R_last, t_last)
+    Ri, ti = R_last.T, -jnp.einsum("ji,j->i", R_last, t_last, precision=_HI)
     Rv_out, tv_out = se3_compose(R_out, t_out, Ri, ti)
 
     # found/visible accumulators (IncreaseFound / IncreaseVisible):

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+_HI = jax.lax.Precision.HIGHEST  # pixel-scale geometry: bf16-unsafe
+
 from ..geometry.camera import CameraIntrinsics
 from ..geometry.se3 import hat, se3_apply, se3_compose, se3_inverse
 from ..ops.hamming import hamming_matrix, knn2
@@ -26,9 +28,9 @@ from ..frontend.initializer import triangulate_two_view
 def fundamental_from_poses(R1, t1, R2, t2, K):
     """F12 such that x2^T F x1 = 0 for pixel coords."""
     R12, t12 = se3_compose(R2, t2, *se3_inverse(R1, t1))  # cam2 <- cam1
-    E = hat(t12) @ R12
+    E = jnp.matmul(hat(t12), R12, precision=_HI)
     Kinv = jnp.linalg.inv(K)
-    return Kinv.T @ E @ Kinv
+    return jnp.matmul(jnp.matmul(Kinv.T, E, precision=_HI), Kinv, precision=_HI)
 
 
 @functools.partial(jax.jit, static_argnames=("cam", "scale_factor"))
@@ -46,9 +48,9 @@ def triangulate_between(
 
     # Epipolar gate: distance of kp2 to the epipolar line of kp1.
     ah = jnp.concatenate([xy1, jnp.ones((xy1.shape[0], 1))], axis=1)
-    lines2 = ah @ F12.T  # line in image 2 per kp1
+    lines2 = jnp.matmul(ah, F12.T, precision=_HI)  # line in image 2 per kp1
     bh = jnp.concatenate([xy2, jnp.ones((xy2.shape[0], 1))], axis=1)
-    num = (lines2 @ bh.T) ** 2  # [N1, N2]
+    num = jnp.matmul(lines2, bh.T, precision=_HI) ** 2  # [N1, N2]
     den = lines2[:, 0:1] ** 2 + lines2[:, 1:2] ** 2 + 1e-12
     d2 = num / den
     sigma2_2 = jnp.power(jnp.float32(scale_factor), 2.0 * oct2.astype(jnp.float32))
@@ -73,7 +75,7 @@ def triangulate_between(
     z_ok = (pc1[:, 2] > 0.05) & (pc2[:, 2] > 0.05)
 
     def reproj_err(pc, obs):
-        pr = pc @ K.T
+        pr = jnp.matmul(pc, K.T, precision=_HI)
         w = jnp.where(jnp.abs(pr[:, 2:]) < 1e-9, 1e-9, pr[:, 2:])
         return jnp.sum((pr[:, :2] / w - obs) ** 2, axis=1)
 

@@ -16,6 +16,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # The axon PJRT plugin ignores the env var in this image; the
+    # config update is what actually forces CPU (see tests/conftest.py).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def main():
     import jax
