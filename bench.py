@@ -89,7 +89,7 @@ def main():
     # revisits, capacity-pressure culling, injected loss -> reloc.
     from orb_line_slam_tpu.eval.endurance import run_endurance
 
-    ate_extra.update(run_endurance(n_frames=1500))
+    ate_extra.update(run_endurance(n_frames=1500, shipping=True))
 
     # Regression guard vs the last recorded round (VERDICT r3/r4):
     # flags (not aborts — the driver still needs the JSON line) any >5%

