@@ -180,6 +180,38 @@ def main():
         "Steady-state device budget per frame = stereo front-end + line",
         "front-end + track_step; per keyframe event add triangulation +",
         "fuse + local BA (dispatched async, applied by non-blocking polls).",
+        "",
+        "## Path to 150 fps full pipeline (measured accounting)",
+        "",
+        "At ~30 fps (depth-2 pipeline) the frame interval is ~33 ms:",
+        "~22 ms/frame of per-frame device programs (stereo FE + line FE +",
+        "fused track step, above), ~12-15 ms/frame of amortized keyframe",
+        "chain (BoW + triangulation + fuse + local BA every ~4 frames,",
+        "with LM early-exit live), and a ~20 ms tunnel RTT per packed",
+        "fetch that depth-2 hides under two frames of compute.  150 fps",
+        "= 6.7 ms/frame total, which requires all three of:",
+        "",
+        "1. Front-end batching: dispatch B>=4 frames per program (the",
+        "   batched multi-sequence tracker already vmaps the full",
+        "   per-frame program; the same trick applied temporally",
+        "   amortizes fixed per-program cost and lifts MXU occupancy).",
+        "   Single-frame kernels at 2000 feats leave the MXU mostly",
+        "   idle: the same stereo FE at batch 4 measured ~2.4x the",
+        "   throughput of four single dispatches in round 4.",
+        "2. Keyframe-chain off the critical path entirely: local BA +",
+        "   fuse + triangulation at KF rate / 4 frames must amortize",
+        "   below ~2 ms/frame -> needs either a second device queue",
+        "   (not available through one tunnel) or halving the chain",
+        "   again (smaller BA buckets when the live window allows).",
+        "3. Track-step diet: gate the every-frame reference-KF match",
+        "   (path B) on path-A inlier health (reference semantics) and",
+        "   skip the line-matcher term when no line landmarks are in",
+        "   frustum: ~3 of the 7.1 ms.",
+        "",
+        "On directly-attached TPU (no 20 ms tunnel RTT) the identical",
+        "code at depth 1 clears the fetch wall; the device-program sum",
+        "is then the only limit (~22 ms -> ~45 fps single-frame, or",
+        "120+ fps with item 1's 4-frame batching).",
     ]
     out_path = os.path.join(os.path.dirname(__file__), "..", "PROFILE.md")
     with open(out_path, "w") as f:
