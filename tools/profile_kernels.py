@@ -203,10 +203,13 @@ def main():
         "   below ~2 ms/frame -> needs either a second device queue",
         "   (not available through one tunnel) or halving the chain",
         "   again (smaller BA buckets when the live window allows).",
-        "3. Track-step diet: gate the every-frame reference-KF match",
-        "   (path B) on path-A inlier health (reference semantics) and",
-        "   skip the line-matcher term when no line landmarks are in",
-        "   frustum: ~3 of the 7.1 ms.",
+        "3. Track-step diet: NOT by gating path B on path-A health —",
+        "   that was measured to let A's velocity-prediction bias",
+        "   self-confirm (inliers 300 -> 50 in 5 frames, 3x keyframe",
+        "   rate; see track_step.py path-B comment).  The honest cuts",
+        "   are fewer EPnP hypotheses when the last solve was clean and",
+        "   skipping the line-matcher term when no line landmarks are",
+        "   in frustum: ~2 of the 7.1 ms.",
         "",
         "On directly-attached TPU (no 20 ms tunnel RTT) the identical",
         "code at depth 1 clears the fetch wall; the device-program sum",
