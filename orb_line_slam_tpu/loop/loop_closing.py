@@ -200,7 +200,71 @@ class LoopCloser:
             jnp.zeros((M, 2)), jnp.ones(M), jnp.ones(M), jnp.zeros(M, bool),
             cam, cam, fix_scale=self.fix_scale,
         )
+        self._warmup_correction_programs()
         jax.block_until_ready(m.idx)
+
+    def _warmup_correction_programs(self):
+        """Pre-compile the two big correction-path programs at their
+        session-stable buckets: the Sim3 pose graph (Kpad = table
+        capacity rounded to 32, E rounded to 256) and the full-map BA
+        at the configured capacities.  Un-warmed, each costs 10-25 s of
+        trace+compile ON the correction path (measured on chip — the
+        dominant term of the mid-run fps dips)."""
+        store = self.map
+        mc = self.cfg.map
+        cam = self.cfg.camera
+        # The live path pads K to the full table capacity; warm exactly
+        # that rung at the two typical edge-count rungs.
+        Kpad = store.kf_R.shape[0]
+        for Epad in (256, 512):
+            optimize_pose_graph(
+                jnp.ones(Kpad), jnp.tile(jnp.eye(3), (Kpad, 1, 1)),
+                jnp.zeros((Kpad, 3)),
+                jnp.zeros(Kpad, bool).at[:2].set(True),
+                jnp.zeros(Kpad, bool).at[0].set(True),
+                jnp.zeros(Epad, jnp.int32),
+                jnp.ones(Epad, jnp.int32),
+                jnp.ones(Epad), jnp.tile(jnp.eye(3), (Epad, 1, 1)),
+                jnp.zeros((Epad, 3)),
+                jnp.zeros(Epad, bool).at[0].set(True), jnp.ones(Epad),
+                n_iters=20,
+            )
+        # Full-map BA at the exact _dispatch_gba bucket.  Mirror its
+        # shape/threshold math; the line variant only when lines exist.
+        n_cams = mc.max_keyframes
+        n_pts = mc.max_points
+        n_obs = n_cams * 1024
+        if n_cams * n_pts * 18 * 4 <= 256 * 1024 * 1024:
+            args = (
+                jnp.tile(jnp.eye(3), (n_cams, 1, 1)), jnp.zeros((n_cams, 3)),
+                jnp.zeros(n_cams, bool).at[0].set(True),
+                jnp.ones((n_pts, 3)), jnp.ones(n_pts, bool),
+                jnp.zeros(n_obs, jnp.int32), jnp.zeros(n_obs, jnp.int32),
+                jnp.ones((n_obs, 3)), jnp.zeros(n_obs, jnp.int32),
+                jnp.zeros(n_obs, bool),
+            )
+            # iters must match the correction path's static args
+            # (run/dispatch_global_ba default 12+0).
+            if store.Lf:
+                from ..backend.line_ba import bundle_adjust_pl
+
+                Lc = mc.max_lines
+                Ol = Lc * 8
+                bundle_adjust_pl(
+                    *args[:10],
+                    jnp.tile(jnp.eye(3), (Lc, 1, 1)),
+                    jnp.tile(jnp.asarray([1.0, 0.1]), (Lc, 1)),
+                    jnp.zeros(Lc, bool),
+                    jnp.zeros(Ol, jnp.int32), jnp.zeros(Ol, jnp.int32),
+                    jnp.ones((Ol, 2)), jnp.ones((Ol, 2)),
+                    jnp.zeros(Ol, jnp.int32), jnp.zeros(Ol, bool),
+                    cam, self.cfg.orb.scale_factor, iters1=12, iters2=0,
+                )
+            else:
+                bundle_adjust(
+                    *args, cam, self.cfg.orb.scale_factor,
+                    iters1=12, iters2=0, fix_first=True,
+                )
 
     # ------------------------------------------------------------------
     def _on_kf_culled(self, k: int, parent: int):
@@ -793,7 +857,29 @@ class LoopCloser:
             eR[n] = Rm
             et[n] = tm
 
-        Kpad = Kn
+        # Stable jit buckets: Kn and the edge count change with every
+        # correction, and unbucketed they force a full XLA recompile of
+        # the pose-graph program per loop closure (~6-9 s measured on
+        # chip — the dominant term of the mid-run fps dips).  Pad K to
+        # the full TABLE CAPACITY (rows past _next_kf are invalid
+        # slots, and the capacity rung is the one warmup_jit
+        # pre-compiles) and the edge set to a multiple of 256 with
+        # masked-out edges.
+        Kpad = store.kf_R.shape[0]
+        valid = store.kf_valid[:Kpad].copy()
+        Epad = -(-E // 256) * 256
+        pad = Epad - E
+        if pad:
+            edges_i = edges_i + [0] * pad
+            edges_j = edges_j + [0] * pad
+            ew = ew + [0.0] * pad
+            es = np.concatenate([es, np.ones(pad, np.float32)])
+            eR = np.concatenate(
+                [eR, np.tile(np.eye(3, dtype=np.float32), (pad, 1, 1))]
+            )
+            et = np.concatenate([et, np.zeros((pad, 3), np.float32)])
+        e_valid = np.zeros(Epad, bool)
+        e_valid[:E] = True
         s0 = np.ones(Kpad, np.float32)
         fixed = np.zeros(Kpad, bool)
         fixed[loop_kf] = True
@@ -809,7 +895,7 @@ class LoopCloser:
                 jnp.asarray(np.array(edges_i, np.int32)),
                 jnp.asarray(np.array(edges_j, np.int32)),
                 jnp.asarray(es), jnp.asarray(eR), jnp.asarray(et),
-                jnp.ones(E, bool), jnp.asarray(np.array(ew, np.float32)),
+                jnp.asarray(e_valid), jnp.asarray(np.array(ew, np.float32)),
                 n_iters=20,
             )
         )
@@ -994,17 +1080,24 @@ class LoopCloser:
         if len(ids) < 2:
             return
         mc = self.cfg.map
-        n_cams = min(len(ids) + 4, mc.max_keyframes)
-        n_pts = int(store.pt_valid.sum()) + 64
-        # Round capacities up to multiples (stable jit cache keys).
-        n_pts = min(mc.max_points, -(-n_pts // 2048) * 2048)
-        n_obs = min(len(ids) * 1024, n_cams * 2048)
+        # ONE session-stable problem bucket: shapes derived from the
+        # live KF/point counts changed with every correction, and each
+        # new (C, P, O) combo re-traced + re-compiled the full-map BA
+        # program for 10-25 s ON THE CORRECTION PATH (measured on chip
+        # — the dominant term of the mid-run fps dips).  Padding
+        # straight to the configured capacities costs only solve time
+        # (0.65 s at C=96/P=12k/O=98k, and the solve is async anyway)
+        # and lets warmup_jit pre-compile the exact program once.
+        # The KF table can outgrow max_keyframes under culling pressure;
+        # bucket that rare case by 32 rows.
+        n_cams = max(mc.max_keyframes, -(-len(ids) // 32) * 32)
+        n_pts = mc.max_points
+        n_obs = n_cams * 1024
         dense_bytes = n_cams * n_pts * 18 * 4
-        use_cg = dense_bytes > 128 * 1024 * 1024
-        if not use_cg:
-            # Dense path keeps its proven small-problem shapes.
-            n_pts = min(n_pts, 16384)
-            n_obs = min(n_obs, 65536)
+        # 256 MB keeps the 128-KF/16k-point capacity config on the
+        # dense+lines path (coupling tensor 151 MB, ~50 ms/LM-iter on
+        # chip, solved asynchronously); CG takes over past that.
+        use_cg = dense_bytes > 256 * 1024 * 1024
         pack = store.pack_local_ba(
             int(ids[-1]),
             max_cams=n_cams,
